@@ -1,0 +1,221 @@
+"""Parsers: raw log line -> structured map, first-match-wins chain.
+
+Reference semantics:
+- json parser (``internal/parser/json/json.go:44-56``): ``json.Unmarshal``
+  into ``map[string]any``; returns false (no-op) on anything that is not a
+  JSON object; optional timestamp extraction from a parsed key.
+- regex parser (``internal/parser/regex/regex.go:58-86``): unanchored
+  leftmost search (``FindStringSubmatch``); named capture groups become the
+  parsed map; ``AllowEmpty=false`` drops empty-string groups
+  (``regex.go:69-76``); no-match -> false.
+- time extraction (``internal/parser/parser.go:14-22``): parse
+  ``parsed[time_key]`` with a Go reference-time layout; on success overwrite
+  the event timestamp, on failure silently keep the old one.
+- chain (``internal/engine/engine.go:93-97``): parsers run in config order,
+  the FIRST match wins; if none matches the raw row continues down the
+  pipeline with NULL parsed data.
+
+Spark realization: the json path is pure Catalyst (``from_json``); the regex
+path is a vectorized pandas UDF (Arrow-batched — the only Python in the hot
+path, looping only inside the UDF body over a pandas Series); the chain is a
+``coalesce`` over per-parser struct results, which Catalyst folds into one
+projection.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Go reference-time layouts -> Spark (java.time) datetime patterns.
+# Small and loud-on-unknown by design (SURVEY §7.3 item 5): silently
+# mis-parsing timestamps is worse than rejecting a config.
+GO_TO_SPARK_TIME_LAYOUTS: dict[str, str] = {
+    "2006-01-02T15:04:05Z07:00": "yyyy-MM-dd'T'HH:mm:ssXXX",  # RFC3339 (default)
+    "2006-01-02T15:04:05.999999999Z07:00": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX",
+    "2006-01-02 15:04:05": "yyyy-MM-dd HH:mm:ss",
+    "2006-01-02": "yyyy-MM-dd",
+    "02/Jan/2006:15:04:05 -0700": "dd/MMM/yyyy:HH:mm:ss Z",  # apache CLF
+    "Jan  2 15:04:05": "MMM d HH:mm:ss",  # syslog (no year)
+    "15:04:05": "HH:mm:ss",
+}
+
+GO_RFC3339 = "2006-01-02T15:04:05Z07:00"
+
+PARSED_TYPE = T.MapType(T.StringType(), T.StringType())
+
+
+def go_layout_to_spark(layout: str) -> str:
+    """Translate a Go reference-time layout to a Spark datetime pattern.
+
+    Raises ``ValueError`` on layouts outside the supported table — the
+    reference would silently keep the old timestamp (parser.go:17-19), but a
+    config-time unknown layout is a build error here.
+    """
+    if layout in GO_TO_SPARK_TIME_LAYOUTS:
+        return GO_TO_SPARK_TIME_LAYOUTS[layout]
+    raise ValueError(
+        f"unsupported Go time layout {layout!r}; add it to GO_TO_SPARK_TIME_LAYOUTS"
+    )
+
+
+def extract_time_col(parsed: Column, time_key: str, go_layout: str) -> Column:
+    """``ExtractTime`` (parser.go:14-22) as a Column: parsed[time_key]
+    parsed with the layout; NULL (caller coalesces with ingest time) on
+    failure — mirroring 'keep old timestamp on parse error'."""
+    fmt = go_layout_to_spark(go_layout)
+    return F.try_to_timestamp(parsed.getItem(time_key), F.lit(fmt))
+
+
+@dataclass(frozen=True)
+class JsonParser:
+    """json parser (json.go:23-56). Produces map<string,string> parity view:
+    scalar JSON values are rendered the way Go re-serializes them (numbers
+    via float64 -> shortest form, bools as true/false)."""
+
+    name: str = "json"
+    time_key: str = ""
+    time_format: str = GO_RFC3339
+
+    def parsed_col(self, raw: Column) -> Column:
+        # from_json returns NULL for malformed input and for non-object JSON
+        # when the target type is a map — matching json.Unmarshal into
+        # map[string]any failing on arrays/scalars.
+        return F.from_json(raw, PARSED_TYPE)
+
+    def canonical_col(self, raw: Column, parsed: Column) -> Column:
+        # Go json.Marshal(json.Unmarshal(raw)): variant round-trip gives
+        # sorted keys + preserved types (see functions/filters.py docstring).
+        from .filters import canonical_json_from_raw
+
+        return canonical_json_from_raw(raw)
+
+    def time_col(self, parsed: Column) -> Column | None:
+        if self.time_key and self.time_format:
+            return extract_time_col(parsed, self.time_key, self.time_format)
+        return None
+
+
+def _compile_regex_parse_udf(pattern: str, allow_empty: bool):
+    """Build the vectorized regex-parse pandas UDF.
+
+    One precompiled regex per executor (closure), applied per Arrow batch.
+    Go parity notes:
+    - ``FindStringSubmatch`` is an unanchored leftmost search == ``re.search``.
+    - Go returns "" for a non-participating group (regex.go:66-77 stores it);
+      Python gives None -> normalized to "".
+    - ``AllowEmpty=false`` drops keys whose value is "" (regex.go:73-76).
+    """
+    compiled = re.compile(pattern)
+    group_names = [g for g in compiled.groupindex]
+
+    @F.pandas_udf(PARSED_TYPE)
+    def parse(raw: pd.Series) -> pd.Series:
+        out = []
+        for s in raw:
+            if s is None:
+                out.append(None)
+                continue
+            m = compiled.search(s)
+            if m is None:
+                out.append(None)
+                continue
+            d = {}
+            for name in group_names:
+                value = m.group(name)
+                value = "" if value is None else value
+                if allow_empty or value != "":
+                    d[name] = value
+            out.append(d)
+        return pd.Series(out)
+
+    return parse
+
+
+@dataclass(frozen=True)
+class RegexParser:
+    """regex parser (regex.go:25-86): named-group extraction into a map."""
+
+    pattern: str
+    name: str = "regex"
+    allow_empty: bool = True
+    time_key: str = ""
+    time_format: str = GO_RFC3339
+
+    def __post_init__(self) -> None:
+        re.compile(self.pattern)  # Init-time validation (regex.go:32-35)
+
+    def parsed_col(self, raw: Column) -> Column:
+        return _compile_regex_parse_udf(self.pattern, self.allow_empty)(raw)
+
+    def canonical_col(self, raw: Column, parsed: Column) -> Column:
+        # regex output is map[string]string in Go — all values quoted.
+        from .filters import canonical_json_of_string_map
+
+        return canonical_json_of_string_map(parsed)
+
+    def time_col(self, parsed: Column) -> Column | None:
+        if self.time_key and self.time_format:
+            return extract_time_col(parsed, self.time_key, self.time_format)
+        return None
+
+
+@dataclass
+class ParserChain:
+    """First-match-wins parser chain (engine.go:93-97).
+
+    ``apply(df, raw_col, ingest_time_col)`` adds:
+    - ``parsed`` map<string,string> (NULL when no parser matched — the row
+      is KEPT, matching the reference),
+    - ``parser`` string (name of the matching parser, NULL if none),
+    - ``canonical`` string — Go-parity ``json.Marshal(ParsedData)`` text
+      (the grep filter's match target, grep.go:79; ``null`` when unparsed),
+    - ``event_time`` timestamp (extracted if the matching parser has a
+      time_key and it parses; else the ingest time — parser.go:17-19).
+    """
+
+    parsers: list = field(default_factory=list)
+
+    def apply(self, df, raw_col: str = "raw", ingest_time_col: str = "ingest_time"):
+        raw = F.col(raw_col)
+        result = None  # struct(parsed, parser, canonical, event_time)
+        for p in self.parsers:
+            parsed = p.parsed_col(raw)
+            tcol = p.time_col(parsed)
+            event_time = (
+                F.coalesce(tcol, F.col(ingest_time_col))
+                if tcol is not None
+                else F.col(ingest_time_col)
+            )
+            candidate = F.when(
+                parsed.isNotNull(),
+                F.struct(
+                    parsed.alias("parsed"),
+                    F.lit(p.name).alias("parser"),
+                    p.canonical_col(raw, parsed).alias("canonical"),
+                    event_time.alias("event_time"),
+                ),
+            )
+            result = candidate if result is None else F.coalesce(result, candidate)
+        if result is None:
+            return (
+                df.withColumn("parsed", F.lit(None).cast(PARSED_TYPE))
+                .withColumn("parser", F.lit(None).cast("string"))
+                .withColumn("canonical", F.lit("null"))
+                .withColumn("event_time", F.col(ingest_time_col))
+            )
+        return (
+            df.withColumn("_p", result)
+            .withColumn("parsed", F.col("_p.parsed"))
+            .withColumn("parser", F.col("_p.parser"))
+            .withColumn("canonical", F.coalesce(F.col("_p.canonical"), F.lit("null")))
+            .withColumn(
+                "event_time", F.coalesce(F.col("_p.event_time"), F.col(ingest_time_col))
+            )
+            .drop("_p")
+        )

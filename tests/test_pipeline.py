@@ -1,0 +1,149 @@
+"""End-to-end pipeline parity: parse -> filter -> route -> count vs the
+pure-Python oracle, on a deterministic synthetic corpus covering every
+TagMatch branch (FIXTURES.md F5) and both parser paths."""
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_log_forwarder_spark import oracle
+from go_log_forwarder_spark.functions.enrich import broadcast_enrich, merge_static_fields
+from go_log_forwarder_spark.functions.filters import GrepFilter
+from go_log_forwarder_spark.functions.parsers import JsonParser, ParserChain, RegexParser
+from go_log_forwarder_spark.operators.aggregate import (
+    per_sink_counts,
+    per_sink_source_counts,
+    pipeline_metrics,
+)
+from go_log_forwarder_spark.operators.routing import SinkSpec, route_exploded
+
+SINKS = [
+    SinkSpec("sink_all", "*"),
+    SinkSpec("sink_app", "app-*"),
+    SinkSpec("sink_exact", "http-log"),
+    SinkSpec("sink_infix", "f*bar*baz"),
+    SinkSpec("sink_none", ""),
+]
+
+TAGS = ["app-log-a", "app-log-b", "http-log", "foobarbaz", "syslog", ""]
+SOURCES = ["app-a", "app-b", "httpd", "fb", "sys", "empty"]
+
+
+def _corpus():
+    """300 deterministic rows: JSON lines, regex-able lines, and garbage."""
+    rows = []
+    for i in range(300):
+        tag = TAGS[i % len(TAGS)]
+        source = SOURCES[i % len(SOURCES)]
+        if i % 3 == 0:
+            raw = json.dumps({"level": "error" if i % 2 else "info", "seq": str(i)})
+        elif i % 3 == 1:
+            raw = f"{'ERROR' if i % 2 else 'INFO'} event number {i}"
+        else:
+            raw = f"~~garbage {i}~~"
+        rows.append((raw, tag, source, i, datetime.datetime(2024, 1, 1, 0, 0, i % 60)))
+    return rows
+
+
+PARSERS = [
+    JsonParser(),
+    RegexParser(pattern=r"^(?P<level>[A-Z]+)\s+(?P<message>.+)$"),
+]
+# single-pattern AND == "this pattern must match": keeps error-level rows and
+# unparsed rows (target "null"); tag-gated so only app-* tags are filtered.
+GREP = GrepFilter(op="and", include=('"level":"(error|ERROR)"|null',), match="app-*")
+
+
+def _oracle_events():
+    evs = []
+    for raw, tag, source, i, ts in _corpus():
+        ev = oracle.Event(raw=raw, tag=tag, source=source, line_num=i, timestamp=ts)
+        oracle.parser_chain(
+            ev,
+            [
+                ("json", lambda e: oracle.json_parse(e)),
+                ("regex", lambda e: oracle.regex_parse(e, PARSERS[1].pattern)),
+            ],
+        )
+        evs.append(ev)
+    og = oracle.Grep(op="and", include=list(GREP.include), match=GREP.match)
+    return [e for e in evs if og.apply(e)]
+
+
+@pytest.fixture(scope="module")
+def pipeline_df(spark):
+    df = spark.createDataFrame(
+        _corpus(), "raw string, tag string, source string, line_num long, ingest_time timestamp"
+    )
+    parsed = ParserChain(PARSERS).apply(df)
+    return parsed, GREP.apply(parsed)
+
+
+def test_per_sink_counts_vs_oracle(spark, pipeline_df):
+    _, kept = pipeline_df
+    got = {r["sink_name"]: r["n"] for r in per_sink_counts(kept, SINKS).collect()}
+    want = oracle.per_sink_counts(_oracle_events(), {s.name: s.match for s in SINKS})
+    assert got == want
+    assert got["sink_none"] == 0 or want["sink_none"] == got["sink_none"]
+
+
+def test_routed_rows_vs_oracle(spark, pipeline_df):
+    _, kept = pipeline_df
+    routed = route_exploded(kept, SINKS)
+    got = {(r["sink"], r["line_num"]) for r in routed.select("sink", "line_num").collect()}
+    want = set()
+    for name, evs in oracle.route(_oracle_events(), {s.name: s.match for s in SINKS}).items():
+        for ev in evs:
+            want.add((name, ev.line_num))
+    assert got == want
+
+
+def test_per_sink_source_counts(spark, pipeline_df):
+    _, kept = pipeline_df
+    got = {
+        (r["sink_name"], r["source"]): r["n"]
+        for r in per_sink_source_counts(kept, SINKS).collect()
+    }
+    want: dict = {}
+    for name, evs in oracle.route(_oracle_events(), {s.name: s.match for s in SINKS}).items():
+        for ev in evs:
+            want[(name, ev.source)] = want.get((name, ev.source), 0) + 1
+    assert got == want
+
+
+def test_pipeline_metrics_invariants(spark, pipeline_df):
+    parsed, kept = pipeline_df
+    m = {r["source"]: r for r in pipeline_metrics(parsed, kept, SINKS).collect()}
+    total_in = sum(r["rows_in"] for r in m.values())
+    assert total_in == 300
+    for source, r in m.items():
+        assert r["rows_in"] >= r["rows_parsed"]
+        assert 0 <= r["rows_dropped"] <= r["rows_in"]
+    # unparsed garbage rows survive grep only via the "null" include pattern
+    evs = _oracle_events()
+    assert sum(r["rows_in"] - r["rows_dropped"] for r in m.values()) == len(evs)
+
+
+def test_static_field_merge_overwrites(spark):
+    # util.go:47-50 — configured fields overwrite existing keys
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"},), (None,)], "parsed map<string,string>"
+    )
+    out = merge_static_fields(df, {"b": "X", "c": "3"}).collect()
+    assert out[0]["parsed"] == {"a": "1", "b": "X", "c": "3"}
+    assert out[1]["parsed"] == {"b": "X", "c": "3"}
+
+
+def test_broadcast_enrich_left_join(spark):
+    df = spark.createDataFrame([("app-a", 1), ("unknown", 2)], "source string, v int")
+    lookup = spark.createDataFrame(
+        [("app-a", "team-x", "prod")], "source string, team string, env string"
+    )
+    out = {r["source"]: r for r in broadcast_enrich(df, lookup).collect()}
+    assert out["app-a"]["team"] == "team-x"
+    assert out["unknown"]["team"] is None
+    # the join must be a broadcast hash join
+    plan = broadcast_enrich(df, lookup)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
