@@ -29,7 +29,17 @@ from go_log_forwarder_spark.operators.aggregate import (
     per_sink_source_counts,
     pipeline_metrics,
 )
+from go_log_forwarder_spark.functions import dedup as dd
+from go_log_forwarder_spark.functions import similarity as sim
+from go_log_forwarder_spark.functions import textstats as ts
+from go_log_forwarder_spark.operators.partitioning import salted_repartition
 from go_log_forwarder_spark.operators.routing import SinkSpec, route_exploded
+from go_log_forwarder_spark.sources.tokens import (
+    parse_tokens_raw,
+    serialize_tokens,
+    tokens_from_events,
+    tokens_oracle_sql,
+)
 
 # ---------------------------------------------------------------------------
 # pipeline configuration (FIXTURES.md F5-style sink table: every TagMatch
@@ -233,6 +243,153 @@ def q_parser_chain_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tokens-table pipeline (the north-rule flagship: BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+TOK_SINKS = [
+    SinkSpec("t_all", "*"),
+    SinkSpec("t_hot", "*-hot"),
+    SinkSpec("t_exact", "tok-src-a"),
+    SinkSpec("t_multi", "tok-*-*"),
+    SinkSpec("t_none", ""),
+]
+
+_TOKENS_CTE = "WITH toks AS (" + tokens_oracle_sql("event_id", "events") + ")"
+
+
+def q_tokens_roundtrip_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant: serialize each sequence to a JSON
+    log line, parse it back (P2 typed path), assert exact token-array
+    equality. The oracle re-derives the arrays independently; the driver's
+    value hash compares them element-wise."""
+    toks = tokens_from_events(spark, sf_dir)
+    parsed = parse_tokens_raw(serialize_tokens(toks))
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.tokens").alias("tokens"),
+        F.col("parsed.n_tok").alias("n_tok"),
+        F.col("parsed.source").alias("source"),
+        (F.col("parsed.tokens") == F.col("tokens")).alias("roundtrip_ok"),
+        (F.size(F.col("parsed.tokens")) == F.col("parsed.n_tok")).alias("len_ok"),
+    )
+
+
+def q_tokens_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregate: parse -> tag -> route -> per-sink counts + token
+    totals over the sequence table."""
+    toks = tokens_from_events(spark, sf_dir)
+    parsed = parse_tokens_raw(serialize_tokens(toks)).withColumn(
+        "tag", F.concat(F.lit("tok-"), F.col("parsed.source"))
+    )
+    routed = route_exploded(parsed, TOK_SINKS)
+    return routed.groupBy(F.col("sink").alias("sink_name")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("parsed.n_tok").cast("bigint")).alias("sum_n_tok"),
+    )
+
+
+def q_tokens_salted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule skew handling: explicit salted repartition by source must
+    preserve per-source aggregates exactly."""
+    toks = tokens_from_events(spark, sf_dir)
+    salted = salted_repartition(toks, key="source", num_partitions=32, row_key="doc_id")
+    return salted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("sum_n_tok"),
+        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_first_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select("doc_id", *ts.token_count_cols(F.col("text")))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select("doc_id", *ts.quality_cols(F.col("text")))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select(
+        "doc_id", "lang", ts.lang_guess_col(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select("doc_id", *ts.fingerprint_cols(F.col("text")))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_documents(spark, sf_dir))
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(_documents(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_dedup(_documents(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_documents(spark, sf_dir))
+
+
+ANN_QUERY_PRED_SQL = "id < 5"
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    cands = dd.lsh_candidates_sql("documents")
+    ws = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH cands AS (SELECT * FROM ({cands}) t),
+        ids AS (SELECT id_a AS id FROM cands UNION SELECT id_b FROM cands),
+        dw AS (
+            SELECT DISTINCT doc_id AS id, unnest({ws}) AS word FROM documents
+            WHERE doc_id IN (SELECT id FROM ids)
+        ),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM dw GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+            FROM dw a JOIN dw b ON a.word = b.word AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               {ts.micro_sql('CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)')} AS jaccard_micro
+        FROM inter i
+        JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE {ts.micro_sql('CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)')} >= {int(JACCARD_THRESHOLD * 1e6)}
+    """
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -253,6 +410,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast_lookup": q_enrich_broadcast_lookup,
         "regex_parse_groups": q_regex_parse_groups,
         "parser_chain_first_match": q_parser_chain_first_match,
+        "tokens_roundtrip_equality": q_tokens_roundtrip_equality,
+        "tokens_route_counts": q_tokens_route_counts,
+        "tokens_salted_per_source": q_tokens_salted_per_source,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -272,6 +442,12 @@ def oracle_sql() -> dict[str, str]:
     tag_matrix = " UNION ALL ".join(
         f"SELECT tag, '{s.name}' AS sink_name FROM tags WHERE {_sink_pred_sql(s)}"
         for s in SINKS
+    )
+    tok_route = " UNION ALL ".join(
+        f"SELECT '{s.name}' AS sink_name, n, sum_n_tok FROM "
+        f"(SELECT COUNT(*)::BIGINT AS n, SUM(CAST(n_tok AS BIGINT)) AS sum_n_tok "
+        f" FROM tagged WHERE {_sink_pred_sql(s)}) WHERE n > 0"
+        for s in TOK_SINKS
     )
     return {
         "route_per_sink_counts": _BASE_CTE + per_sink_counts_sql,
@@ -338,6 +514,41 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM events GROUP BY 1
         """,
+        "tokens_roundtrip_equality": _TOKENS_CTE
+        + """
+            SELECT doc_id, tokens, n_tok, source,
+                   TRUE AS roundtrip_ok, TRUE AS len_ok
+            FROM toks
+        """,
+        "tokens_route_counts": _TOKENS_CTE
+        + f""", tagged AS (SELECT *, 'tok-' || source AS tag FROM toks)
+            {tok_route}
+        """,
+        "tokens_salted_per_source": _TOKENS_CTE
+        + """
+            SELECT source, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(n_tok AS BIGINT)) AS sum_n_tok,
+                   SUM(CAST(tokens[1] AS BIGINT)) AS sum_first_tok
+            FROM toks GROUP BY source
+        """,
+        "text_token_count": "SELECT doc_id, "
+        + ", ".join(ts.token_count_sql("text"))
+        + " FROM documents",
+        "text_quality": "SELECT doc_id, "
+        + ", ".join(ts.quality_sql("text"))
+        + " FROM documents",
+        "text_lang_id": "SELECT doc_id, lang, "
+        + ts.lang_guess_sql("text")
+        + " AS lang_guess FROM documents",
+        "doc_fingerprint": "SELECT doc_id, "
+        + ", ".join(ts.fingerprint_sql("text"))
+        + " FROM documents",
+        "dedup_exact": dd.exact_dedup_sql("documents"),
+        "dedup_jaccard_pairs": dd.jaccard_pairs_sql("documents", threshold=JACCARD_THRESHOLD),
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_simhash": dd.simhash_sql("documents"),
+        "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
     }
 
 

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Embeddings are
+  quantized to integers (round(x*10000)) so dot products are EXACT integer
+  arithmetic — cross-engine bit-identical, immune to float summation order —
+  and cosine = int_dot / sqrt(int_norm_a * int_norm_b) divides identically
+  in IEEE doubles. Ranking uses (rounded cosine, id) for deterministic ties.
+- LSH-bucketed variant (the scale path): sign-bit bucket over the first
+  SIGN_BITS dimensions; top-k search touches only the query's bucket.
+  At 10^12 rows the bucket map-side partitions the corpus; brute force
+  remains the per-bucket kernel.
+
+All pure Catalyst (zip_with/aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import micro_sql
+
+QUANT = 10000
+SIGN_BITS = 8
+
+
+def quantize(v: Column) -> Column:
+    # floor(x*Q + 0.5), not ROUND: portable across engines (textstats.micro_col)
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("bigint")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def cosine_col(qa: Column, qb: Column) -> Column:
+    """Exact-int cosine of two QUANTIZED vectors, as micro fixed-point
+    (floor(c*1e6+0.5) — see textstats.micro_col for why not ROUND)."""
+    c = int_dot(qa, qb).cast("double") / F.sqrt(
+        (int_dot(qa, qa) * int_dot(qb, qb)).cast("double")
+    )
+    return F.floor(c * 1000000.0 + 0.5).cast("bigint")
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): top-k by (cosine desc, id).
+
+    The query side is broadcast (small); the corpus side streams — one
+    narrow pass + a per-query top-k (window over query partitions)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_micro", cosine_col(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(v: Column) -> Column:
+    """LSH bucket: concatenated sign bits of the first SIGN_BITS dims."""
+    bits = [
+        F.when(F.try_element_at(v, F.lit(i + 1)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(SIGN_BITS)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("cv"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_micro", cosine_col(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_micro"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- DuckDB oracle twins ---------------------------------------------------
+
+
+def _quant_sql(v: str) -> str:
+    return f"list_transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+
+
+def brute_force_topk_sql(
+    table: str, query_pred: str, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+        WITH qz AS (SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v FROM {table}),
+        q AS (SELECT id AS query_id, v AS qv FROM qz WHERE {query_pred}),
+        scored AS (
+            SELECT q.query_id, c.id AS neighbor_id,
+                   {micro_sql(f"CAST({_dot_sql('q.qv', 'c.v')} AS DOUBLE) / sqrt(CAST({_dot_sql('q.qv', 'q.qv')} * {_dot_sql('c.v', 'c.v')} AS DOUBLE))")} AS cosine_micro
+            FROM q JOIN qz c ON c.id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_micro,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def sign_bucket_sql(v: str) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {v}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(SIGN_BITS)
+    )
+    return f"({bits})"
+
+
+def lsh_topk_sql(
+    table: str, query_pred: str, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+        WITH qz AS (SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v,
+                           {sign_bucket_sql(vec_col)} AS bucket FROM {table}),
+        q AS (SELECT id AS query_id, v AS qv, bucket FROM qz WHERE {query_pred}),
+        scored AS (
+            SELECT q.query_id, c.id AS neighbor_id,
+                   {micro_sql(f"CAST({_dot_sql('q.qv', 'c.v')} AS DOUBLE) / sqrt(CAST({_dot_sql('q.qv', 'q.qv')} * {_dot_sql('c.v', 'c.v')} AS DOUBLE))")} AS cosine_micro
+            FROM q JOIN qz c USING (bucket)
+            WHERE c.id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_micro,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """

@@ -1,0 +1,188 @@
+"""Text analysis for training-data pipelines (SURVEY-mandated additions):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions (JVM-side, codegen'd) — and
+every kernel has an exact DuckDB-SQL twin for the oracle gate, built from
+the same constants so they cannot drift.
+
+Portability invariants (Spark <-> DuckDB):
+- integer arithmetic only until the final division (IEEE doubles divide
+  bit-identically given identical operands)
+- hashes derive from md5 hex (identical in both engines); 60-bit prefixes
+  parse via base-16 (Spark ``conv``, DuckDB ``'0x'||s`` cast) staying
+  BIGINT-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately tiny, deterministic stopword lists (language-ID heuristic)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+}
+
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"  # word | digit | other-symbol
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def words_sql(text_expr: str) -> str:
+    return f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+
+
+def micro_col(x: Column) -> Column:
+    """Portable fixed-point: floor(x*1e6 + 0.5) as BIGINT. Spark's ROUND on
+    doubles goes through the shortest decimal repr (BigDecimal.valueOf) while
+    DuckDB rounds the scaled binary double — they disagree 1 ulp at decimal
+    boundaries. Pure double arithmetic + floor is bit-identical in both."""
+    return F.floor(x * 1000000.0 + 0.5).cast("bigint")
+
+
+def micro_sql(x_expr: str) -> str:
+    return f"CAST(FLOOR(({x_expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def hex60_col(s: Column) -> Column:
+    """First 60 bits of md5 as BIGINT (portable hash)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def hex60_sql(s_expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({s_expr}), 1, 15)) AS BIGINT)"
+
+
+def token_count_cols(text: Column) -> list[Column]:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    return [
+        F.size(words_col(text)).alias("n_ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
+    ]
+
+
+def token_count_sql(text_expr: str) -> list[str]:
+    return [
+        f"len({words_sql(text_expr)}) AS n_ws_tokens",
+        f"len(regexp_extract_all({text_expr}, '{BPE_ISH_RE}')) AS n_bpe_tokens",
+    ]
+
+
+def quality_cols(text: Column) -> list[Column]:
+    """Quality scoring: length / mean word length / stopword ratio /
+    alpha ratio, and a composite score. Ratios output as micro-int
+    fixed-point (see micro_col)."""
+    ws = words_col(text)
+    n_words = F.size(ws)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS["en"])))
+    n_alpha = F.regexp_count(text, F.lit("[a-zA-Z]"))
+    mean_wl = (n_chars - (n_words - 1)).cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    score = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.25
+        + alpha_ratio * 0.25
+    )
+    return [
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        micro_col(mean_wl).alias("mean_word_len_micro"),
+        micro_col(stop_ratio).alias("stopword_ratio_micro"),
+        micro_col(alpha_ratio).alias("alpha_ratio_micro"),
+        micro_col(score).alias("quality_score_micro"),
+    ]
+
+
+def quality_sql(text_expr: str) -> list[str]:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    ws = words_sql(text_expr)
+    n_words = f"len({ws})"
+    n_stop = f"len(list_filter({ws}, w -> w IN ({stop_list})))"
+    n_alpha = f"len(regexp_extract_all({text_expr}, '[a-zA-Z]'))"
+    n_chars = f"length({text_expr})"
+    mean_wl = f"CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / {n_words}"
+    stop_ratio = f"CAST({n_stop} AS DOUBLE) / {n_words}"
+    alpha_ratio = f"CAST({n_alpha} AS DOUBLE) / {n_chars}"
+    score = (
+        f"LEAST(CAST({n_words} AS DOUBLE) / 100.0, 1.0) * 0.5"
+        f" + ({stop_ratio}) * 0.25 + ({alpha_ratio}) * 0.25"
+    )
+    return [
+        f"{n_words} AS n_words",
+        f"{n_stop} AS n_stopwords",
+        f"{micro_sql(mean_wl)} AS mean_word_len_micro",
+        f"{micro_sql(stop_ratio)} AS stopword_ratio_micro",
+        f"{micro_sql(alpha_ratio)} AS alpha_ratio_micro",
+        f"{micro_sql(score)} AS quality_score_micro",
+    ]
+
+
+def lang_guess_col(text: Column) -> Column:
+    """Language-ID n-gram/stopword heuristic: argmax stopword-hit count,
+    ties broken by language code order; no hits at all -> 'und'."""
+    ws = words_col(text)
+
+    def _in_list(word_list):
+        return lambda w: w.isin(*word_list)
+
+    counts = [
+        (lang, F.size(F.filter(ws, _in_list(word_list))))
+        for lang, word_list in sorted(STOPWORDS.items())
+    ]
+    best = None
+    best_count = None
+    for lang, cnt in counts:
+        if best is None:
+            best, best_count = F.lit(lang), cnt
+        else:
+            cond = cnt > best_count
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_count = F.when(cond, cnt).otherwise(best_count)
+    return F.when(best_count > 0, best).otherwise(F.lit("und"))
+
+
+def lang_guess_sql(text_expr: str) -> str:
+    ws = words_sql(text_expr)
+    cnt = {
+        lang: f"len(list_filter({ws}, w -> w IN ({', '.join(repr(w) for w in wl)})))"
+        for lang, wl in sorted(STOPWORDS.items())
+    }
+    langs = sorted(STOPWORDS)
+    # same left-to-right argmax with > (strict) as the Column fold above
+    expr, count_expr = f"'{langs[0]}'", cnt[langs[0]]
+    for lang in langs[1:]:
+        expr = f"CASE WHEN {cnt[lang]} > {count_expr} THEN '{lang}' ELSE {expr} END"
+        count_expr = f"GREATEST({cnt[lang]}, {count_expr})"
+    return f"CASE WHEN {count_expr} > 0 THEN {expr} ELSE 'und' END"
+
+
+def fingerprint_cols(text: Column) -> list[Column]:
+    """Document fingerprinting: full-text md5 + a rolling min-hash over word
+    3-grams (shift-resistant near-dup fingerprint)."""
+    ws = words_col(text)
+    n = F.size(ws)
+    # try_element_at: out-of-range -> NULL (concat_ws skips NULLs, matching
+    # DuckDB's list[i] semantics; plain element_at throws under ANSI mode)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.try_element_at(ws, i), F.try_element_at(ws, i + 1), F.try_element_at(ws, i + 2)
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))), gram)
+    return [
+        F.md5(text).alias("md5_fp"),
+        F.array_min(F.transform(grams, lambda g: hex60_col(g))).alias("rolling_fp"),
+    ]
+
+
+def fingerprint_sql(text_expr: str) -> list[str]:
+    ws = words_sql(text_expr)
+    gram = f"concat_ws(' ', {ws}[i], {ws}[i+1], {ws}[i+2])"
+    return [
+        f"md5({text_expr}) AS md5_fp",
+        f"list_min([ {hex60_sql(gram)} for i in generate_series(1, GREATEST(len({ws}) - 2, 1)) ]) AS rolling_fp",
+    ]

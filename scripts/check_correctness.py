@@ -26,13 +26,21 @@ TABLES = [
 ]
 
 
+def _norm_cell(v):
+    if isinstance(v, str) or v is None:
+        return v
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else v
-            )
+            df[c] = df[c].apply(_norm_cell)
     return df.sort_values(by=list(df.columns), ignore_index=True, key=lambda s: s.astype(str))
 
 

@@ -1,0 +1,158 @@
+"""Training-data ops: textstats / dedup / similarity vs pure-Python goldens."""
+
+import hashlib
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_log_forwarder_spark.functions import dedup as dd
+from go_log_forwarder_spark.functions import similarity as sim
+from go_log_forwarder_spark.functions import textstats as ts
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "der hund ist nicht ein hut"),
+    (3, "le chat est dans la maison"),
+    (4, "completely different words here entirely"),
+    (5, "the cat sat on the mat"),  # exact dup of 0
+    (6, "zz"),  # single word (fingerprint n<3 path)
+]
+
+
+def hex60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def micro_py(x: float) -> int:
+    return math.floor(x * 1000000.0 + 0.5)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = {r["text_hash"]: r for r in dd.exact_dedup(docs_df).collect()}
+    h = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert out[h]["n_dups"] == 2
+    assert out[h]["keeper"] == 0
+    assert len(out) == 6
+
+
+def test_jaccard_pairs_golden(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_micro"]
+        for r in dd.jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    sets = {i: set(t.split()) for i, t in DOCS}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = inter / len(sets[a] | sets[b])
+                if micro_py(j) >= 300000:
+                    want[(a, b)] = micro_py(j)
+    assert got == want
+    assert (0, 5) in got and got[(0, 5)] == 1000000  # exact dup pair
+    assert (0, 1) in got  # near dup
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in dd.minhash_lsh_dedup(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 5) in pairs  # identical docs always collide in every band
+    # disjoint docs never collide
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_signature_golden(spark, docs_df):
+    sig = dd.minhash_signature(docs_df).filter(F.col("id") == 0).head()["sig"]
+    words = DOCS[0][1].split()
+    want = [min(hex60_py(f"{s}:{w}") for w in words) for s in range(dd.N_MINHASH)]
+    assert list(sig) == want
+
+
+def test_simhash_golden(spark, docs_df):
+    got = {r["id"]: r["simhash"] for r in dd.simhash(docs_df).collect()}
+    for i, text in DOCS:
+        words = set(text.split())
+        simv = 0
+        for j in range(dd.SIMHASH_BITS):
+            vote = sum(1 if (hex60_py(w) >> j) & 1 else -1 for w in words)
+            if vote > 0:
+                simv |= 1 << j
+        assert got[i] == simv, i
+
+
+def test_lang_guess(spark, docs_df):
+    got = {r["doc_id"]: r["g"] for r in docs_df.select(
+        "doc_id", ts.lang_guess_col(F.col("text")).alias("g")).collect()}
+    assert got[0] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[6] == "und"  # no stopword hits at all
+
+
+def test_token_count_and_quality(spark, docs_df):
+    r = docs_df.filter(F.col("doc_id") == 0).select(
+        *ts.token_count_cols(F.col("text")), *ts.quality_cols(F.col("text"))
+    ).head()
+    assert r["n_ws_tokens"] == 6
+    assert r["n_bpe_tokens"] == 6  # all alpha words
+    assert r["n_words"] == 6
+    assert r["n_stopwords"] == 2  # 'the' twice
+    assert r["stopword_ratio_micro"] == micro_py(2 / 6)
+
+
+def test_fingerprint_golden(spark, docs_df):
+    r = docs_df.filter(F.col("doc_id") == 0).select(
+        *ts.fingerprint_cols(F.col("text"))).head()
+    words = DOCS[0][1].split()
+    grams = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
+    assert r["md5_fp"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert r["rolling_fp"] == min(hex60_py(g) for g in grams)
+    # single-word doc: the 3-gram window degrades to the word itself
+    r6 = docs_df.filter(F.col("doc_id") == 6).select(
+        *ts.fingerprint_cols(F.col("text"))).head()
+    assert r6["rolling_fp"] == hex60_py("zz")
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+def test_brute_force_topk(spark):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+    out = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 4, 2, 3]  # by true cosine to e1
+    by_id = {r["neighbor_id"]: r["cosine_micro"] for r in out}
+    assert by_id[2] == 0  # orthogonal
+    assert by_id[3] == -1000000  # opposite
+    want1 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(by_id[1] / 1e6 - want1) < 1e-5
+
+
+def test_lsh_topk_bucket_restricts(spark):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+    out = sim.lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 3 not in ids  # negative first dim -> different sign bucket
+    assert 1 in ids
