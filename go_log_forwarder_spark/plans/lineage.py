@@ -1,0 +1,201 @@
+"""Per-partition lineage + resumable runs (north rule; SURVEY §2.8).
+
+The reference persists ``(path, inode) -> (offset, lastReadLine)`` to SQLite
+every 100 ms (internal/input/tail/repository.go:50-120, tail.go:473-497) and
+seeks to the saved offset on restart (tail.go:418) — at-least-once. This
+engine is strictly stronger (exactly-once across retries):
+
+- **Work unit** = input file (the file-scan task granule; at 10^12 rows an
+  Iceberg scan-task manifest plays the same role). The unit list comes from
+  the filesystem/manifest, never from scanning row data.
+- **Idempotent output**: each run processes ALL uncommitted units in ONE
+  Spark job and writes every sink partitioned by unit with dynamic partition
+  overwrite — a retried unit replaces its own output, never duplicates it.
+- **Atomic lineage commit**: after the sink writes succeed, one lineage row
+  per unit (run_id, unit, rows_in/parsed/dropped/routed, status, ts) is
+  committed via temp+rename JSON — the parquet-manifest analog of an Iceberg
+  snapshot commit. Crash before the commit -> the unit is reprocessed and
+  its output overwritten (no dup, no loss). Crash after -> it is skipped.
+- **Resume** = anti-join of the unit list against committed lineage
+  (a driver-side set difference over file names — partition pruning happens
+  BEFORE any data is read, mirroring the offset seek).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.routing import SinkSpec
+
+UNIT_COL = "_unit"
+
+
+class LineageStore:
+    """One JSON file per committed (run_id, unit) — atomic via rename."""
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def _run_dir(self, run_id: str) -> str:
+        return os.path.join(self.base, run_id)
+
+    def committed(self, run_id: str) -> dict[str, dict]:
+        d = self._run_dir(run_id)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                rec = json.load(open(os.path.join(d, f)))
+                out[rec["unit"]] = rec
+        return out
+
+    def commit(self, run_id: str, records: list[dict]) -> None:
+        d = self._run_dir(run_id)
+        os.makedirs(d, exist_ok=True)
+        for rec in records:
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(d, f"{uuid.uuid5(uuid.NAMESPACE_URL, rec['unit']).hex}.json"))
+
+    def metrics_df(self, spark: SparkSession, run_id: str) -> DataFrame:
+        recs = list(self.committed(run_id).values())
+        schema = (
+            "run_id string, unit string, rows_in long, rows_parsed long, "
+            "rows_dropped long, rows_routed long, status string"
+        )
+        rows = [
+            (
+                r["run_id"], r["unit"], r["rows_in"], r["rows_parsed"],
+                r["rows_dropped"], r["rows_routed"], r["status"],
+            )
+            for r in recs
+        ]
+        return spark.createDataFrame(rows, schema)
+
+
+class ResumablePipeline:
+    """Exactly-once resumable pipeline runner over file-unit granules.
+
+    ``pipeline_fn(df) -> (parsed_df, kept_df)`` is the parse+filter stage;
+    sinks receive ``kept_df`` rows whose tag matches their pattern.
+    """
+
+    def __init__(self, work_dir: str, sinks: list[SinkSpec]):
+        self.work_dir = work_dir
+        self.sinks = sinks
+        self.lineage = LineageStore(os.path.join(work_dir, "_lineage"))
+
+    def _sink_dir(self, sink: SinkSpec) -> str:
+        return os.path.join(self.work_dir, "sinks", sink.name)
+
+    def list_units(self, spark: SparkSession, input_path: str) -> list[str]:
+        df = spark.read.parquet(input_path)
+        return sorted(
+            r[0]
+            for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+
+    def run(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        pipeline_fn: Callable[[DataFrame], tuple[DataFrame, DataFrame]],
+        run_id: str,
+        fail_after_units: int | None = None,
+        max_units_per_batch: int | None = None,
+    ) -> dict:
+        """Process all units not yet committed for ``run_id``.
+
+        ``fail_after_units``/``max_units_per_batch`` exist for the
+        crash-resume tests (FIXTURES.md F8): process only a prefix of the
+        todo list, optionally 'crash' (raise) after writing sink data but
+        BEFORE committing lineage for the tail half of that prefix.
+        """
+        units = self.list_units(spark, input_path)
+        done = set(self.lineage.committed(run_id))
+        todo = [u for u in units if u not in done]
+        if max_units_per_batch is not None:
+            todo = todo[:max_units_per_batch]
+        if not todo:
+            return {"processed": 0, "skipped": len(done)}
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df = spark.read.parquet(*todo).withColumn(UNIT_COL, F.input_file_name())
+        parsed, kept = pipeline_fn(df)
+        parsed = parsed.persist()
+        kept = kept.persist()
+        try:
+            routed_counts: dict[str, int] = {}
+            for s in self.sinks:
+                sdf = kept.filter(s.compiled.column(F.col("tag")))
+                (
+                    sdf.write.mode("overwrite")
+                    .partitionBy(UNIT_COL)
+                    .parquet(self._sink_dir(s))
+                )
+            # per-unit metrics (A2): rows in/parsed/dropped/routed
+            routed = None
+            for s in self.sinks:
+                c = (
+                    kept.filter(s.compiled.column(F.col("tag")))
+                    .groupBy(UNIT_COL)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                routed = c if routed is None else routed.unionByName(c)
+            routed_map = {
+                r[UNIT_COL]: r["rn"]
+                for r in routed.groupBy(UNIT_COL).agg(F.sum("n").alias("rn")).collect()
+            }
+            stats = {
+                r[UNIT_COL]: r
+                for r in parsed.groupBy(UNIT_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("rows_in"),
+                    F.sum(F.when(F.col("parsed").isNotNull(), 1).otherwise(0)).alias(
+                        "rows_parsed"
+                    ),
+                )
+                .collect()
+            }
+            kept_map = {
+                r[UNIT_COL]: r["k"]
+                for r in kept.groupBy(UNIT_COL).agg(F.count(F.lit(1)).alias("k")).collect()
+            }
+        finally:
+            parsed.unpersist()
+            kept.unpersist()
+
+        records = []
+        for i, u in enumerate(todo):
+            if fail_after_units is not None and i >= fail_after_units:
+                # simulated crash: sink data written, lineage NOT committed
+                raise RuntimeError(f"injected failure before committing {u}")
+            st = stats.get(u)
+            records.append(
+                {
+                    "run_id": run_id,
+                    "unit": u,
+                    "rows_in": st["rows_in"] if st else 0,
+                    "rows_parsed": st["rows_parsed"] if st else 0,
+                    "rows_dropped": (st["rows_in"] - kept_map.get(u, 0)) if st else 0,
+                    "rows_routed": routed_map.get(u, 0),
+                    "status": "committed",
+                    "committed_at": time.time(),
+                }
+            )
+            self.lineage.commit(run_id, [records[-1]])
+        return {"processed": len(todo), "skipped": len(done)}
+
+    def read_sink(self, spark: SparkSession, sink_name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.work_dir, "sinks", sink_name))

@@ -1,0 +1,97 @@
+"""Structured Streaming variant of the pipeline (SURVEY §2.9, §7.2-M9).
+
+The reference is a continuous system with micro-batching (flush at >=100
+events or 1 s — engine.go:81-83,121-131) and no event-time semantics. The
+Spark mapping:
+
+- file/socket source -> ``readStream`` (the file source does discovery +
+  offset tracking natively, subsuming tail's stat-loop/inode bookkeeping,
+  tail.go:201-325);
+- the 1 s flush ticker -> ``trigger(processingTime="1 second")``;
+- the fan-out -> ``foreachBatch`` reusing the EXACT batch pipeline function
+  (one code path for batch and streaming — this is the design point);
+- resume -> the streaming checkpoint dir (offset log + commits), the
+  SQLite-offset analog (repository.go:50-120) with exactly-once sinks.
+
+Beyond the reference (north-rule extensions, documented as such): windowed
+per-sink counts with watermarked event time are available via
+``windowed_counts`` for late-data-tolerant aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.routing import SinkSpec
+
+
+def stream_events(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-source stream: discovery + offsets handled by Spark (S1)."""
+    return spark.readStream.format(fmt).schema(schema).load(input_dir)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    pipeline_fn: Callable[[DataFrame], DataFrame],
+    sinks: list[SinkSpec],
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 1,
+    tag_col: str = "tag",
+):
+    """engine.go:137-143 fan-out per micro-batch: the batch pipeline_fn runs
+    unchanged inside foreachBatch; each sink appends its tag-filtered view.
+
+    Exactly-once: the checkpoint commit log plus idempotent per-batch
+    parquet appends under ``batch=<id>`` directories (a retried batch id
+    overwrites its own directory)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = pipeline_fn(batch_df)
+        kept = kept.persist()
+        try:
+            for s in sinks:
+                (
+                    kept.filter(s.compiled.column(F.col(tag_col)))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, s.name, f"batch={batch_id}"))
+                )
+        finally:
+            kept.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    sinks: list[SinkSpec],
+    time_col: str = "event_time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    tag_col: str = "tag",
+) -> DataFrame:
+    """Watermarked tumbling-window per-sink counts (north-rule extension;
+    the reference has no event-time windows — SURVEY §2.9)."""
+    from ..operators.routing import route_exploded
+
+    routed = route_exploded(
+        stream_df.withWatermark(time_col, watermark), sinks, tag_col
+    )
+    return routed.groupBy(
+        F.window(F.col(time_col), window).alias("win"),
+        F.col("sink").alias("sink_name"),
+    ).agg(F.count(F.lit(1)).alias("n"))

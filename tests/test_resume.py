@@ -1,0 +1,109 @@
+"""Checkpoint / lineage / resume (FIXTURES.md F8): crash after partial
+lineage commit, rerun, assert no duplicates and no loss vs a clean run.
+Also snapshot-store atomicity + incremental reads."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_log_forwarder_spark.functions.filters import GrepFilter
+from go_log_forwarder_spark.functions.parsers import JsonParser, ParserChain
+from go_log_forwarder_spark.operators.routing import SinkSpec
+from go_log_forwarder_spark.plans.lineage import ResumablePipeline
+from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+SINKS = [SinkSpec("all", "*"), SinkSpec("err", "evt-err*")]
+
+
+def _write_input(spark, path, n=400, files=8):
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, F.lit("{bad"))
+        .otherwise(F.concat(F.lit('{"k":'), F.col("id").cast("string"), F.lit("}")))
+        .alias("raw"),
+        F.when(F.col("id") % 3 == 0, F.lit("evt-error")).otherwise(F.lit("evt-ok")).alias("tag"),
+        F.lit(datetime.datetime(2024, 1, 1)).alias("ingest_time"),
+    )
+    df.repartition(files).write.mode("overwrite").parquet(path)
+
+
+def _pipeline_fn(df):
+    parsed = ParserChain([JsonParser()]).apply(df)
+    kept = GrepFilter(op="and", include=('"k":[0-9]*[02468]}|null',)).apply(parsed)
+    return parsed, kept
+
+
+def _totals(spark, workdir):
+    rp = ResumablePipeline(workdir, SINKS)
+    out = {}
+    for s in SINKS:
+        df = rp.read_sink(spark, s.name)
+        out[s.name] = sorted(r["id"] for r in df.select("id").collect())
+    return out
+
+
+def test_clean_vs_crash_resume(spark, tmp_path):
+    inp = str(tmp_path / "input")
+    _write_input(spark, inp)
+
+    # clean single run
+    clean_dir = str(tmp_path / "clean")
+    rp = ResumablePipeline(clean_dir, SINKS)
+    res = rp.run(spark, inp, _pipeline_fn, run_id="r1")
+    assert res["processed"] == 8 and res["skipped"] == 0
+
+    # crashed run: lineage committed for only 3 units, then failure
+    crash_dir = str(tmp_path / "crash")
+    rp2 = ResumablePipeline(crash_dir, SINKS)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        rp2.run(spark, inp, _pipeline_fn, run_id="r1", fail_after_units=3)
+    assert len(rp2.lineage.committed("r1")) == 3
+
+    # resume: only uncommitted units reprocess
+    res2 = rp2.run(spark, inp, _pipeline_fn, run_id="r1")
+    assert res2["skipped"] == 3 and res2["processed"] == 5
+
+    # no dup, no loss: routed rows identical to the clean run
+    assert _totals(spark, crash_dir) == _totals(spark, clean_dir)
+
+    # third run: everything skipped, outputs unchanged
+    res3 = rp2.run(spark, inp, _pipeline_fn, run_id="r1")
+    assert res3["processed"] == 0
+    assert _totals(spark, crash_dir) == _totals(spark, clean_dir)
+
+
+def test_lineage_metrics(spark, tmp_path):
+    inp = str(tmp_path / "input2")
+    _write_input(spark, inp, n=100, files=4)
+    wd = str(tmp_path / "wd2")
+    rp = ResumablePipeline(wd, SINKS)
+    rp.run(spark, inp, _pipeline_fn, run_id="m1")
+    m = rp.lineage.metrics_df(spark, "m1")
+    rows = m.collect()
+    assert len(rows) == 4
+    assert sum(r["rows_in"] for r in rows) == 100
+    # every 7th row is unparsable
+    assert sum(r["rows_parsed"] for r in rows) == 100 - len([i for i in range(100) if i % 7 == 0])
+    for r in rows:
+        assert r["status"] == "committed"
+        assert 0 <= r["rows_dropped"] <= r["rows_in"]
+
+
+def test_snapshot_store_atomic_and_incremental(spark, tmp_path):
+    store = ParquetSnapshotStore(str(tmp_path / "store"))
+    df1 = spark.range(10).select(F.col("id"))
+    df2 = spark.range(10, 25).select(F.col("id"))
+    s1 = store.append(df1, "t")
+    s2 = store.append(df2, "t")
+    assert store.snapshots("t") == [s1, s2]
+    assert store.read(spark, "t").count() == 25
+    # incremental read: only snapshot 2
+    inc = store.read(spark, "t", after_snapshot=s1)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 25))
+    # nothing new
+    assert store.read(spark, "t", after_snapshot=s2) is None
+    # uncommitted data is invisible: write data dir without manifest
+    df3 = spark.range(100, 101)
+    df3.write.mode("overwrite").parquet(str(tmp_path / "store/t/data/snap=99"))
+    assert store.read(spark, "t").count() == 25  # still 25 — not committed
