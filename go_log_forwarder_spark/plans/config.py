@@ -1,0 +1,125 @@
+"""YAML pipeline config -> DataFrame DAG builder (SURVEY §3.1).
+
+Accepts the reference's config shape (cfg/cfg.yaml; internal/config/
+config.go:31-103): ``System / Inputs / Parsers / Filters / Outputs`` lists
+of ``Type``-discriminated dicts, with ``${ENV}`` expansion (config.go:91
+``os.ExpandEnv``). The registry switch (config.go:162-244) becomes the
+builder maps below; the four ordered plugin slices (engine.go:17-20 — the
+reference's entire "physical plan") become ONE lazy DataFrame expression
+tree that Catalyst analyzes and optimizes.
+
+Inputs build batch DataFrames; `tcp` (S5, a dev-only socket source in
+Spark) is accepted but only in streaming mode. Outputs map to sink specs +
+writer callables; `splunk`/`gelf` become routed parquet tables carrying the
+formatted payload column (SURVEY §2.7-K3/K4 graft mapping).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.filters import FilterChain, GrepFilter
+from ..functions.parsers import GO_RFC3339, JsonParser, ParserChain, RegexParser
+from ..operators.routing import SinkSpec
+from ..sources.http import http_body_lines
+from ..sources.tail import tail_batch
+
+
+def _expand_env(text: str) -> str:
+    """os.ExpandEnv parity: $VAR and ${VAR}; unknown -> empty string."""
+    def sub(m):
+        return os.environ.get(m.group(1) or m.group(2), "")
+
+    return re.sub(r"\$(?:\{(\w+)\}|(\w+))", sub, text)
+
+
+@dataclass
+class PipelinePlan:
+    inputs: list[dict] = field(default_factory=list)
+    parsers: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    sinks: list[SinkSpec] = field(default_factory=list)
+    sink_configs: dict[str, dict] = field(default_factory=dict)
+
+
+def _build_parser(cfg: dict):
+    t = cfg.get("Type", "").lower()
+    common = dict(
+        name=cfg.get("Name", t),
+        time_key=cfg.get("TimeKey", ""),
+        time_format=cfg.get("TimeFormat") or GO_RFC3339,
+    )
+    if t == "json":
+        return JsonParser(**common)
+    if t == "regex":
+        return RegexParser(
+            pattern=cfg["Pattern"],
+            allow_empty=cfg.get("AllowEmpty", True),
+            **common,
+        )
+    raise ValueError(f"unknown parser type {t!r} (config.go:186-200 analog)")
+
+
+def _build_filter(cfg: dict):
+    t = cfg.get("Type", "").lower()
+    if t == "grep":
+        return GrepFilter(
+            include=tuple(cfg.get("Include", []) or []),
+            exclude=tuple(cfg.get("Exclude", []) or []),
+            op=(cfg.get("Op") or "and").lower(),
+            match=cfg.get("Match", "*") or "*",
+            name=cfg.get("Name", "grep"),
+        )
+    raise ValueError(f"unknown filter type {t!r} (config.go:204-218 analog)")
+
+
+def load_plan(path: str | None = None, text: str | None = None) -> PipelinePlan:
+    if text is None:
+        with open(path) as f:
+            text = f.read()
+    cfg = yaml.safe_load(_expand_env(text)) or {}
+    plan = PipelinePlan()
+    plan.inputs = cfg.get("Inputs") or []
+    plan.parsers = [_build_parser(p) for p in (cfg.get("Parsers") or [])]
+    plan.filters = [_build_filter(p) for p in (cfg.get("Filters") or [])]
+    for out in cfg.get("Outputs") or []:
+        name = out.get("Name") or f"{out['Type']}_{len(plan.sinks)}"
+        spec = SinkSpec(name=name, match=out.get("Match", "*") or "*", kind=out["Type"].lower())
+        plan.sinks.append(spec)
+        plan.sink_configs[name] = out
+    return plan
+
+
+def build_input_df(spark: SparkSession, input_cfg: dict) -> DataFrame:
+    t = input_cfg.get("Type", "").lower()
+    tag = input_cfg.get("Tag", "") or ""
+    if t == "tail":
+        return tail_batch(spark, input_cfg["Glob"], tag=tag)
+    if t == "http":
+        # batch analog: a table of (body, remote_addr) request rows
+        bodies = spark.read.parquet(input_cfg["BodyTable"])
+        return http_body_lines(bodies, tag=tag)
+    raise ValueError(f"unsupported batch input type {t!r} (tcp is streaming-only)")
+
+
+def build_pipeline(spark: SparkSession, plan: PipelinePlan) -> DataFrame:
+    """inputs -> union (S8, engine.go:21,59-68) -> parser chain -> filters.
+
+    Returns the routed-ready frame (raw, parsed, canonical, parser, tag,
+    source, line_num, event_time); pair with operators.routing for sinks.
+    """
+    dfs = [build_input_df(spark, c) for c in plan.inputs]
+    if not dfs:
+        raise ValueError("no inputs configured")
+    df = dfs[0]
+    for other in dfs[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    df = ParserChain(plan.parsers).apply(df)
+    df = FilterChain(plan.filters).apply(df)
+    return df

@@ -1,0 +1,235 @@
+"""Sources (tail/http line semantics), sink formatters, YAML config builder,
+multimodal plumbing."""
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_log_forwarder_spark.functions import multimodal as mm
+from go_log_forwarder_spark.operators import sinks as sk
+from go_log_forwarder_spark.plans.config import build_pipeline, load_plan
+from go_log_forwarder_spark.sources.http import http_body_lines, processed_lines_response
+from go_log_forwarder_spark.sources.tail import tail_batch
+
+TS = datetime.datetime(2024, 2, 20, 15, 4, 5)
+
+
+# --- tail (tail.go:434-463): TrimSpace; empty lines counted but skipped ----
+
+
+def test_tail_batch_line_numbers(spark, tmp_path):
+    p = tmp_path / "logs"
+    p.mkdir()
+    (p / "a.log").write_text("one\n\n  three  \nfour\n")
+    (p / "b.log").write_text("solo")
+    df = tail_batch(spark, str(p / "*.log"), tag="app-log")
+    rows = {(r["source"].rsplit("/", 1)[-1], r["line_num"]): r["raw"] for r in df.collect()}
+    # 'a.log': line 2 is empty -> counted, skipped; line 3 trimmed
+    assert rows[("a.log", 1)] == "one"
+    assert ("a.log", 2) not in rows
+    assert rows[("a.log", 3)] == "three"
+    assert rows[("a.log", 4)] == "four"
+    assert rows[("b.log", 1)] == "solo"
+    assert all(r["tag"] == "app-log" for r in df.collect())
+
+
+# --- http (http.go:125-146): TrimSuffix \r; empty lines NOT counted -------
+
+
+def test_http_body_lines(spark):
+    body = "alpha\r\n\nbeta\ngamma\r\n"
+    df = spark.createDataFrame([(body, "1.2.3.4:5")], "body string, remote_addr string")
+    out = http_body_lines(df, tag="http-log")
+    rows = {r["line_num"]: r["raw"] for r in out.collect()}
+    # empty line between alpha and beta is skipped and NOT counted
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma"}
+    resp = processed_lines_response(out).head()
+    assert resp["lines_processed"] == 3
+
+
+def test_http_body_cap(spark):
+    big = "x" * (5 * 1024 * 1024 + 1)
+    df = spark.createDataFrame([(big, "a"), ("ok", "b")], "body string, remote_addr string")
+    out = http_body_lines(df)
+    assert [r["raw"] for r in out.collect()] == ["ok"]  # 413 analog
+
+
+# --- sink formatters -------------------------------------------------------
+
+
+@pytest.fixture()
+def event_df(spark):
+    return spark.createDataFrame(
+        [
+            ('{"b":"2","a":"1"}', {"b": "2", "a": "1"}, '{"a":"1","b":"2"}', "app-x", "f.log", 7, TS),
+            ("plain line", None, None, "app-y", "", 0, TS),
+        ],
+        "raw string, parsed map<string,string>, canonical string, tag string, source string, line_num long, event_time timestamp",
+    )
+
+
+def test_stdout_json_format(spark, event_df):
+    out = event_df.select(
+        sk.stdout_json_col(
+            F.col("canonical"), F.col("tag"), F.col("event_time"), F.col("line_num"), F.col("source")
+        ).alias("j")
+    ).collect()
+    parsed0 = json.loads(out[0]["j"])
+    assert parsed0 == {
+        "data": {"a": "1", "b": "2"},
+        "lineNum": 7,
+        "path": "f.log",
+        "tag": "app-x",
+        "timestamp": "2024-02-20T15:04:05Z",
+    }
+    # zero lineNum and empty source omitted (stdout.go:129-135)
+    parsed1 = json.loads(out[1]["j"])
+    assert parsed1 == {"data": None, "tag": "app-y", "timestamp": "2024-02-20T15:04:05Z"}
+
+
+def test_stdout_plain_format(spark, event_df):
+    out = event_df.select(
+        sk.stdout_plain_col(F.col("parsed"), F.col("raw"), F.col("tag"), F.col("event_time")).alias("p")
+    ).collect()
+    assert out[0]["p"] == "2024-02-20T15:04:05Z [app-x] a=1 b=2 "
+    assert out[1]["p"] == "2024-02-20T15:04:05Z [app-y] RawData=plain line"
+
+
+def test_template_format(spark, event_df):
+    out = event_df.select(
+        sk.template_col(
+            "ts={{.Timestamp}} tag={{.Tag}} a={{.Data.a}}!",
+            F.col("parsed"), F.col("tag"), F.col("event_time"),
+        ).alias("t")
+    ).collect()
+    assert out[0]["t"] == "ts=2024-02-20T15:04:05Z tag=app-x a=1!"
+    assert out[1]["t"] == "ts=2024-02-20T15:04:05Z tag=app-y a=<no value>!"
+
+
+def test_colorize(spark):
+    df = spark.createDataFrame(
+        [("an ERROR here",), ("warning: x",), ("info ok",), ("nothing",)], "s string"
+    )
+    out = [r["c"] for r in df.select(sk.colorize_col(F.col("s")).alias("c")).collect()]
+    assert out[0].startswith(sk.RED) and out[0].endswith(sk.RESET)
+    assert out[1].startswith(sk.YELLOW)
+    assert out[2].startswith(sk.GREEN)
+    assert out[3].startswith(sk.BLUE)
+
+
+def test_splunk_event(spark, event_df):
+    out = event_df.select(
+        sk.splunk_event_col(
+            F.col("parsed"), F.col("raw"), F.col("event_time"), F.col("source"),
+            F.col("line_num"), index="idx", event_host="h1", source_type="st",
+            event_fields={"env": "prod"},
+        ).alias("e")
+    ).collect()
+    ev0 = json.loads(out[0]["e"])
+    assert ev0["index"] == "idx" and ev0["host"] == "Logs from GO Log"
+    assert ev0["time"] == int(TS.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert ev0["event"] == {"a": "1", "b": "2", "env": "prod", "source": "f.log", "lineNum": "7"}
+    assert json.loads(out[1]["e"])["event"] is None  # empty ParsedData -> null
+    raw = event_df.select(
+        sk.splunk_event_col(
+            F.col("parsed"), F.col("raw"), F.col("event_time"), F.col("source"),
+            F.col("line_num"), send_raw=True,
+        ).alias("e")
+    ).collect()
+    assert json.loads(raw[1]["e"])["event"] == "plain line"
+
+
+def test_gelf_message(spark, event_df):
+    out = event_df.select(
+        sk.gelf_message_col(F.col("canonical"), F.col("raw"), F.col("event_time"), host="h").alias("g")
+    ).collect()
+    g0 = json.loads(out[0]["g"])
+    assert g0["version"] == "1.1" and g0["level"] == 6
+    assert g0["short_message"] == '{"a":"1","b":"2"}'
+    assert json.loads(out[1]["g"])["short_message"] == "plain line"
+
+
+# --- YAML config builder ---------------------------------------------------
+
+
+def test_yaml_pipeline_build(spark, tmp_path, monkeypatch):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "app1.log").write_text('{"level":"error","k":"1"}\n{"level":"info","k":"2"}\nnot json\n')
+    monkeypatch.setenv("GLFS_GLOB", str(logs / "*.log"))
+    cfg = """
+Inputs:
+  - Type: "tail"
+    Tag: "app-log"
+    Glob: "${GLFS_GLOB}"
+Parsers:
+  - Type: "json"
+Filters:
+  - Type: grep
+    Op: and
+    Match: "app-*"
+    Include: ['"level":"(error|info)"|null']
+Outputs:
+  - Type: stdout
+    Match: "app-*"
+    Format: json
+  - Type: counter
+    Match: "*"
+"""
+    plan = load_plan(text=cfg)
+    assert [s.kind for s in plan.sinks] == ["stdout", "counter"]
+    df = build_pipeline(spark, plan)
+    rows = df.collect()
+    assert len(rows) == 3  # unparsed row kept (target "null" matches include)
+    assert {r["parser"] for r in rows} == {"json", None}
+    from go_log_forwarder_spark.operators.aggregate import per_sink_counts
+
+    counts = {r["sink_name"]: r["n"] for r in per_sink_counts(df, plan.sinks).collect()}
+    assert counts == {"stdout_0": 3, "counter_1": 3}
+
+
+def test_yaml_unknown_types():
+    with pytest.raises(ValueError):
+        load_plan(text="Parsers:\n  - Type: xml\n")
+    with pytest.raises(ValueError):
+        load_plan(text="Filters:\n  - Type: sed\n")
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    media = mm.synth_media(spark, 30)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["kind"] == "image" and by_id[0]["width"] > 0
+    assert by_id[1]["kind"] == "audio" and by_id[1]["duration_ms"] > 0
+    # deterministic: same input -> same checksum
+    feats2 = {r["media_id"]: r["checksum"] for r in mm.extract_features(media).collect()}
+    assert feats2 == {r["media_id"]: r["checksum"] for r in feats}
+
+
+def test_multimodal_frame_sample(spark):
+    media = mm.synth_media(spark, 30)
+    frames = mm.frame_sample(media, every_ms=100).collect()
+    assert len(frames) > 0
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_offset_ms"])
+    for offs in per_media.values():
+        assert offs == sorted(offs)
+        assert all(o % 100 == 0 for o in offs)
+
+
+def test_multimodal_column_pruning(spark):
+    """Metadata-only plans must not read the binary column."""
+    media = mm.synth_media(spark, 10)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="glfs_media_")
+    media.write.mode("overwrite").parquet(d)
+    plan = spark.read.parquet(d).select("media_id", "kind")._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # pruned at the scan
