@@ -30,6 +30,8 @@ from go_log_forwarder_spark.operators.aggregate import (
     pipeline_metrics,
 )
 from go_log_forwarder_spark.functions import dedup as dd
+from go_log_forwarder_spark.functions import multimodal as mm
+from go_log_forwarder_spark.functions.grok import grok_parser, grok_to_regex
 from go_log_forwarder_spark.functions import similarity as sim
 from go_log_forwarder_spark.functions import textstats as ts
 from go_log_forwarder_spark.operators.partitioning import salted_repartition
@@ -352,6 +354,109 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_QUERY_PRED_SQL = "id < 5"
 
+GROK_EXPR = "%{LOGLEVEL:level} id=%{INT:id} user=%{INT:user}"
+# LOGLEVEL alternation body (strip the (?: ... ) wrapper) for the oracle SQL
+_LOGLEVEL_RE = grok_to_regex("%{LOGLEVEL}")[3:-1]
+
+
+def q_grok_parse_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok layer (north star): %{PATTERN:field} compiled onto the same
+    vectorized parse kernel as P1."""
+    ev = _events(spark, sf_dir)
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.upper(F.col("event_type")),
+            F.lit(" id="),
+            F.col("event_id").cast("string"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+        ).alias("raw"),
+        F.col("ts").alias("ingest_time"),
+    )
+    parsed = ParserChain([grok_parser(GROK_EXPR)]).apply(df)
+    return parsed.groupBy(F.col("parsed")["level"].alias("level")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("parsed")["id"].cast("bigint")).alias("sum_id"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (decode stubbed — no codec libs in container):
+    binary media column -> mapInPandas feature extraction. Rows-only check."""
+    n = _events(spark, sf_dir).count()
+    media = mm.synth_media(spark, min(n, 2000))
+    return mm.extract_features(media)
+
+
+def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variant (foreachBatch over a file-source stream) of the
+    per-sink counter. Rows-only check (not SQL-expressible)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from go_log_forwarder_spark.streaming.pipeline import run_foreach_batch, stream_events
+
+    tmp = tempfile.mkdtemp(prefix="glfs_stream_q_")
+    src = _ingest(spark, sf_dir).select("event_id", "raw", "tag", "source", "ingest_time")
+    indir = f"{tmp}/in"
+    src.coalesce(2).write.mode("overwrite").parquet(indir)
+    schema = T.StructType.fromJson(src.schema.jsonValue())
+
+    def pipeline(df):
+        parsed = ParserChain([JsonParser()]).apply(df)
+        return GREP.apply(parsed)
+
+    q = run_foreach_batch(
+        stream_events(spark, indir, schema), pipeline, SINKS, f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    dfs = []
+    for s in SINKS:
+        try:
+            cnt = spark.read.parquet(f"{tmp}/out/{s.name}").count()
+        except Exception:  # noqa: BLE001 — sink matched no rows, no dir
+            cnt = 0
+        dfs.append((s.name, cnt))
+    return spark.createDataFrame(dfs, "sink_name string, n long")
+
+
+def q_resume_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/lineage/resume (north rule): run the resumable pipeline
+    with an injected crash, resume, return per-run totals. Rows-only check —
+    the invariant (resume equals clean run) is asserted in-line."""
+    import tempfile
+
+    from go_log_forwarder_spark.plans.lineage import ResumablePipeline
+
+    tmp = tempfile.mkdtemp(prefix="glfs_resume_q_")
+    inp = f"{tmp}/in"
+    _ingest(spark, sf_dir).select("event_id", "raw", "tag", "source", "ingest_time") \
+        .repartition(6).write.mode("overwrite").parquet(inp)
+
+    def pf(df):
+        parsed = ParserChain([JsonParser()]).apply(df)
+        return parsed, GREP.apply(parsed)
+
+    rp = ResumablePipeline(f"{tmp}/wd", SINKS)
+    try:
+        rp.run(spark, inp, pf, run_id="driver", fail_after_units=3)
+    except RuntimeError:
+        pass  # injected crash after 3 committed units
+    rp.run(spark, inp, pf, run_id="driver")  # resume
+    again = rp.run(spark, inp, pf, run_id="driver")
+    assert again["processed"] == 0, "resume must be idempotent"
+    m = rp.lineage.metrics_df(spark, "driver")
+    return m.groupBy("run_id", "status").agg(
+        F.count(F.lit(1)).alias("units"),
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("rows_parsed").alias("rows_parsed"),
+        F.sum("rows_dropped").alias("rows_dropped"),
+        F.sum("rows_routed").alias("rows_routed"),
+    )
+
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
@@ -423,6 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "grok_parse_groups": q_grok_parse_groups,
+        "multimodal_features": q_multimodal_features,
+        "stream_route_counts": q_stream_route_counts,
+        "resume_lineage_metrics": q_resume_lineage_metrics,
     }
 
 
@@ -549,6 +658,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "grok_parse_groups": f"""
+            WITH raws AS (
+                SELECT event_id,
+                       upper(event_type) || ' id=' || event_id || ' user=' || user_id AS raw
+                FROM events
+            ),
+            parsed AS (
+                SELECT NULLIF(regexp_extract(raw, '({_LOGLEVEL_RE}) id=', 1), '') AS level,
+                       CAST(regexp_extract(raw, ' id=([0-9]+)', 1) AS BIGINT) AS id
+                FROM raws
+            )
+            SELECT level, COUNT(*)::BIGINT AS n,
+                   SUM(CASE WHEN level IS NOT NULL THEN id END) AS sum_id
+            FROM parsed GROUP BY level
+        """,
+        # multimodal_features / stream_route_counts / resume_lineage_metrics:
+        # intentionally no oracle (stubbed decode / streaming / stateful
+        # resume are not SQL-expressible) -> driver records rows-only checks.
     }
 
 
