@@ -315,22 +315,36 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _docs_with_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words materialized in their own projection: Catalyst doesn't CSE a
+    split() referenced from several higher-order lambdas (12x on
+    doc_fingerprint at sf0.1)."""
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", "lang", "text", ts.words_col(F.col("text")).alias("_ws"))
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _documents(spark, sf_dir).select("doc_id", *ts.token_count_cols(F.col("text")))
+    return _docs_with_words(spark, sf_dir).select(
+        "doc_id", *ts.token_count_cols(F.col("text"), words=F.col("_ws"))
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _documents(spark, sf_dir).select("doc_id", *ts.quality_cols(F.col("text")))
+    return _docs_with_words(spark, sf_dir).select(
+        "doc_id", *ts.quality_cols(F.col("text"), words=F.col("_ws"))
+    )
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _documents(spark, sf_dir).select(
-        "doc_id", "lang", ts.lang_guess_col(F.col("text")).alias("lang_guess")
+    return _docs_with_words(spark, sf_dir).select(
+        "doc_id", "lang", ts.lang_guess_col(F.col("text"), words=F.col("_ws")).alias("lang_guess")
     )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _documents(spark, sf_dir).select("doc_id", *ts.fingerprint_cols(F.col("text")))
+    return _docs_with_words(spark, sf_dir).select(
+        "doc_id", *ts.fingerprint_cols(F.col("text"), words=F.col("_ws"))
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

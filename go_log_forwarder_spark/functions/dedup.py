@@ -109,8 +109,13 @@ def jaccard_pairs_sql(table: str, threshold: float = 0.6, text_col: str = "text"
 
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, sig array<bigint>[N_MINHASH]): min over words of
-    hex60(md5(seed || ':' || word)). Map-side only — no shuffle."""
-    ws = words_col(F.col(text_col))
+    hex60(md5(seed || ':' || word)). Map-side only — no shuffle.
+
+    Words are materialized in their own projection first: 16 seeded
+    transforms referencing an inline split() would re-split 16x per row
+    (no CSE across higher-order lambdas)."""
+    df = df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
 
     def _seeded(seed: int):
         # closure factory: a default-arg lambda would be treated as a

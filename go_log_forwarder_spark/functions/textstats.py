@@ -57,10 +57,14 @@ def hex60_sql(s_expr: str) -> str:
     return f"CAST(('0x' || substr(md5({s_expr}), 1, 15)) AS BIGINT)"
 
 
-def token_count_cols(text: Column) -> list[Column]:
-    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+def token_count_cols(text: Column, words: Column | None = None) -> list[Column]:
+    """Token counting: whitespace tokens + a BPE-ish regex token count.
+
+    Pass a pre-materialized ``words`` column (own projection) in hot paths:
+    Catalyst does NOT CSE a ``split`` referenced from several higher-order
+    lambdas in one projection — measured 12x on doc_fingerprint."""
     return [
-        F.size(words_col(text)).alias("n_ws_tokens"),
+        F.size(words if words is not None else words_col(text)).alias("n_ws_tokens"),
         F.regexp_count(text, F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
     ]
 
@@ -72,11 +76,12 @@ def token_count_sql(text_expr: str) -> list[str]:
     ]
 
 
-def quality_cols(text: Column) -> list[Column]:
+def quality_cols(text: Column, words: Column | None = None) -> list[Column]:
     """Quality scoring: length / mean word length / stopword ratio /
     alpha ratio, and a composite score. Ratios output as micro-int
-    fixed-point (see micro_col)."""
-    ws = words_col(text)
+    fixed-point (see micro_col). Pass pre-materialized ``words`` in hot
+    paths (see token_count_cols)."""
+    ws = words if words is not None else words_col(text)
     n_words = F.size(ws)
     n_chars = F.length(text)
     n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS["en"])))
@@ -123,10 +128,10 @@ def quality_sql(text_expr: str) -> list[str]:
     ]
 
 
-def lang_guess_col(text: Column) -> Column:
+def lang_guess_col(text: Column, words: Column | None = None) -> Column:
     """Language-ID n-gram/stopword heuristic: argmax stopword-hit count,
     ties broken by language code order; no hits at all -> 'und'."""
-    ws = words_col(text)
+    ws = words if words is not None else words_col(text)
 
     def _in_list(word_list):
         return lambda w: w.isin(*word_list)
@@ -162,10 +167,11 @@ def lang_guess_sql(text_expr: str) -> str:
     return f"CASE WHEN {count_expr} > 0 THEN {expr} ELSE 'und' END"
 
 
-def fingerprint_cols(text: Column) -> list[Column]:
+def fingerprint_cols(text: Column, words: Column | None = None) -> list[Column]:
     """Document fingerprinting: full-text md5 + a rolling min-hash over word
-    3-grams (shift-resistant near-dup fingerprint)."""
-    ws = words_col(text)
+    3-grams (shift-resistant near-dup fingerprint). Pass pre-materialized
+    ``words`` in hot paths (see token_count_cols)."""
+    ws = words if words is not None else words_col(text)
     n = F.size(ws)
     # try_element_at: out-of-range -> NULL (concat_ws skips NULLs, matching
     # DuckDB's list[i] semantics; plain element_at throws under ANSI mode)
