@@ -368,6 +368,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_QUERY_PRED_SQL = "id < 5"
 
+EMB_DEDUP_MICRO = 400000  # testdata embeddings are random: max pair cosine ~0.51
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (a, b, cosine_micro) above the
+    threshold — the semantic-dedup variant (exact-int cosine, id_a < id_b).
+    Production threshold would be ~0.95; the synthetic embeddings are
+    random so the gate uses a value that yields a non-trivial pair set."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("id_a"), sim.quantize(F.col("embedding")).alias("va"))
+    c = emb.select(F.col("vec_id").alias("id_b"), sim.quantize(F.col("embedding")).alias("vb"))
+    pairs = q.join(c, F.col("id_a") < F.col("id_b")).withColumn(
+        "cosine_micro", sim.cosine_col(F.col("va"), F.col("vb"))
+    )
+    return pairs.filter(F.col("cosine_micro") >= EMB_DEDUP_MICRO).select(
+        "id_a", "id_b", "cosine_micro"
+    )
+
+
+def q_tokens_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sequence dedup on the tokens table: hash-groupBy over the
+    token-array fingerprint (never shuffles the arrays themselves)."""
+    toks = tokens_from_events(spark, sf_dir)
+    key = F.md5(F.array_join(F.transform(F.col("tokens"), lambda x: x.cast("string")), ","))
+    return (
+        toks.select(key.alias("seq_hash"), "doc_id", "n_tok")
+        .groupBy("seq_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"),
+             F.max("n_tok").alias("n_tok"))
+    )
+
+
+def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token bigram top-k: explode adjacent pairs, count,
+    top 20 by (count desc, bigram asc) — the n-gram-stats scan shape."""
+    toks = tokens_from_events(spark, sf_dir)
+    # NB sequence(1,0) DESCENDS in Spark — guard the n_tok==1 case explicitly
+    gram_list = F.when(
+        F.col("n_tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - 1),
+            lambda i: F.concat(
+                F.try_element_at(F.col("tokens"), i).cast("string"),
+                F.lit("-"),
+                F.try_element_at(F.col("tokens"), i + 1).cast("string"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = toks.select(F.explode(gram_list).alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
 GROK_EXPR = "%{LOGLEVEL:level} id=%{INT:id} user=%{INT:user}"
 # LOGLEVEL alternation body (strip the (?: ... ) wrapper) for the oracle SQL
 _LOGLEVEL_RE = grok_to_regex("%{LOGLEVEL}")[3:-1]
@@ -542,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "tokens_dedup_exact": q_tokens_dedup_exact,
+        "token_bigrams_topk": q_token_bigrams_topk,
         "grok_parse_groups": q_grok_parse_groups,
         "multimodal_features": q_multimodal_features,
         "stream_route_counts": q_stream_route_counts,
@@ -672,6 +731,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "dedup_embedding_cosine": f"""
+            WITH qz AS (SELECT vec_id AS id, list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+                        FROM embeddings),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       {ts.micro_sql("CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS DOUBLE) / sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])) * list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])) AS DOUBLE))")} AS cosine_micro
+                FROM qz a JOIN qz b ON a.id < b.id
+            )
+            SELECT * FROM pairs WHERE cosine_micro >= {EMB_DEDUP_MICRO}
+        """,
+        "tokens_dedup_exact": _TOKENS_CTE
+        + """
+            SELECT md5(array_to_string(tokens, ',')) AS seq_hash,
+                   COUNT(*)::BIGINT AS n_dups, MIN(doc_id) AS keeper,
+                   MAX(n_tok) AS n_tok
+            FROM toks GROUP BY 1
+        """,
+        "token_bigrams_topk": _TOKENS_CTE
+        + """
+            , bigrams AS (
+                SELECT unnest([ CAST(tokens[i] AS VARCHAR) || '-' || CAST(tokens[i+1] AS VARCHAR)
+                                for i in generate_series(1, n_tok - 1) ]) AS bigram
+                FROM toks WHERE n_tok >= 2
+            ),
+            counts AS (SELECT bigram, COUNT(*)::BIGINT AS n FROM bigrams GROUP BY 1)
+            SELECT bigram, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, bigram) AS INT) AS rank
+            FROM counts QUALIFY rank <= 20
+        """,
         "grok_parse_groups": f"""
             WITH raws AS (
                 SELECT event_id,
