@@ -52,18 +52,25 @@ def tag_match_py(input_tag: str, match: str) -> bool:
 
 @dataclass(frozen=True)
 class CompiledTagPattern:
-    """One tag pattern compiled to its cheapest predicate form."""
+    """One tag pattern compiled to its cheapest predicate form.
+
+    ⚠ A wildcard-free pattern is NOT exact equality in the reference: the
+    algorithm only checks HasPrefix AND HasSuffix (util.go:25-33), so
+    ``TagMatch("aa", "a")`` is TRUE. Kind 'presuf' mirrors that (found by
+    property-testing the compiled form against the Go algorithm)."""
 
     pattern: str
-    kind: str  # 'all' | 'exact' | 'prefix' | 'suffix' | 'regex'
+    kind: str  # 'all' | 'empty' | 'presuf' | 'prefix' | 'suffix' | 'contains' | 'regex'
     arg: str  # literal or regex source
 
     def column(self, tag: Column) -> Column:
         """Catalyst predicate over the tag column."""
         if self.kind == "all":
             return F.lit(True)
-        if self.kind == "exact":
-            return tag == F.lit(self.arg)
+        if self.kind == "empty":
+            return tag == F.lit("")
+        if self.kind == "presuf":
+            return tag.startswith(self.arg) & tag.endswith(self.arg)
         if self.kind == "prefix":
             return tag.startswith(self.arg)
         if self.kind == "suffix":
@@ -77,8 +84,10 @@ class CompiledTagPattern:
         if self.kind == "all":
             return "TRUE"
         lit = self.arg.replace("'", "''")
-        if self.kind == "exact":
-            return f"{tag_expr} = '{lit}'"
+        if self.kind == "empty":
+            return f"{tag_expr} = ''"
+        if self.kind == "presuf":
+            return f"(starts_with({tag_expr}, '{lit}') AND ends_with({tag_expr}, '{lit}'))"
         if self.kind == "prefix":
             return f"starts_with({tag_expr}, '{lit}')"
         if self.kind == "suffix":
@@ -91,16 +100,17 @@ class CompiledTagPattern:
 def compile_tag_pattern(match: str) -> CompiledTagPattern:
     """Compile a reference tag pattern to :class:`CompiledTagPattern`.
 
-    Equivalence to ``util.go:9-45``: '*'-to-'.*' translation of the whole
-    pattern, anchored, with literals regex-escaped. Empty pattern -> matches
-    only the empty tag (compiled as exact-'').
+    Equivalence to ``util.go:9-45``: the wildcard-free case is
+    prefix-AND-suffix ('presuf', see class docstring); otherwise
+    '*'-to-'.*' translation of the whole pattern, anchored, literals
+    regex-escaped. Empty pattern -> matches only the empty tag.
     """
     if match == "":
-        return CompiledTagPattern(match, "exact", "")
+        return CompiledTagPattern(match, "empty", "")
     if set(match) == {"*"}:
         return CompiledTagPattern(match, "all", "")
     if "*" not in match:
-        return CompiledTagPattern(match, "exact", match)
+        return CompiledTagPattern(match, "presuf", match)
     core = match.strip("*")
     if "*" not in core:
         if match.startswith("*") and match.endswith("*"):

@@ -37,6 +37,11 @@ REFERENCE_CASES = [
     ("Overlap short", "ab", "ab*ab", False),
     ("Double star adjacent", "foobar", "foo**bar", True),
     ("Double star hit", "fooxbar", "foo**bar", True),
+    # wildcard-free is prefix+suffix, NOT equality (util.go:25-33; found by
+    # hypothesis property testing)
+    ("Presuf overlap", "aa", "a", True),
+    ("Presuf repeat", "abxab", "ab", True),
+    ("Presuf miss", "abxba", "ab", False),
 ]
 
 
