@@ -35,6 +35,25 @@ def source_salt_factors(df: DataFrame, key: str, num_partitions: int) -> dict[st
     }
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "source",
+    buckets: int = 32,
+    sort_by: str | None = "doc_id",
+) -> None:
+    """Bucketed table write: later equi-joins/aggregations on ``key``
+    co-locate WITHOUT a shuffle (the 10^12-row co-location strategy — both
+    sides bucketed on the join key means zero Exchange at read time).
+
+    Uses the session catalog (works with the in-memory catalog locally and
+    any HMS/Glue catalog on a cluster)."""
+    w = df.write.bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 def salted_repartition(
     df: DataFrame,
     key: str = "source",

@@ -1,0 +1,161 @@
+"""Physical-plan shape assertions — the 100 TB readiness gates.
+
+Correctness tests prove the operators compute the right answer; these prove
+the PLANS are the ones you'd want on a 1000-executor cluster: filters reach
+the parquet scan, column pruning drops unused (esp. wide/binary) columns,
+small dims broadcast, map-side ops don't shuffle, salting balances the
+skewed source, and whole-stage codegen covers the hot expressions.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_log_forwarder_spark.functions.enrich import broadcast_enrich
+from go_log_forwarder_spark.functions.parsers import JsonParser, ParserChain
+from go_log_forwarder_spark.operators.partitioning import salted_repartition, source_salt_factors
+from go_log_forwarder_spark.operators.routing import SinkSpec, route_exploded
+from go_log_forwarder_spark.sources.tokens import synth_tokens
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("toks") / "tokens")
+    synth_tokens(spark, 20000, max_len=16, partitions=8).write.parquet(p)
+    return p
+
+
+def test_filter_pushdown_reaches_scan(spark, tokens_path):
+    df = spark.read.parquet(tokens_path).filter(F.col("source") == "src-a").select("doc_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src-a)" in plan
+
+
+def test_column_pruning_drops_tokens_array(spark, tokens_path):
+    """A count over doc_id must not read the (wide) tokens array."""
+    df = spark.read.parquet(tokens_path).groupBy("source").agg(F.count("doc_id"))
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tokens" not in read_schema
+
+
+def test_enrich_is_broadcast_not_shuffle(spark, tokens_path):
+    facts = spark.read.parquet(tokens_path)
+    lookup = spark.createDataFrame(
+        [("src-a", "t1"), ("src-hot", "t2")], "source string, team string"
+    )
+    plan = plan_of(broadcast_enrich(facts, lookup))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact side must NOT be exchanged for the join (only the broadcast)
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_parse_route_is_shuffle_free(spark, tokens_path):
+    """The whole parse -> tag -> route -> explode path is map-side only."""
+    from go_log_forwarder_spark.sources.tokens import parse_tokens_raw, serialize_tokens
+
+    df = parse_tokens_raw(serialize_tokens(spark.read.parquet(tokens_path)))
+    routed = route_exploded(
+        df.withColumn("tag", F.concat(F.lit("tok-"), F.col("parsed.source"))),
+        [SinkSpec("a", "*"), SinkSpec("b", "*-hot")],
+    )
+    plan = plan_of(routed)
+    assert "Exchange" not in plan
+    # whole-stage codegen spans show as *(n) in the physical plan string
+    assert "*(1)" in plan
+
+
+def test_per_sink_counts_single_shuffle(spark, tokens_path):
+    """Counting per sink = exactly ONE exchange (the final group-by), with
+    map-side partial aggregation before it."""
+    from go_log_forwarder_spark.operators.aggregate import per_sink_source_counts
+
+    df = spark.read.parquet(tokens_path).withColumn(
+        "tag", F.concat(F.lit("tok-"), F.col("source"))
+    )
+    out = per_sink_source_counts(df, [SinkSpec("a", "*"), SinkSpec("b", "*-hot")])
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine
+
+
+def test_salted_repartition_balances_hot_source(spark, tokens_path):
+    """src-hot holds ~60% of rows; plain repartition(source) would put them
+    in ONE partition. Salting must spread the hot source over multiple
+    partitions while leaving aggregates intact."""
+    df = spark.read.parquet(tokens_path)
+    factors = source_salt_factors(df, "source", 16)
+    assert factors["src-hot"] > 1  # pre-scan detects the skew
+    salted = salted_repartition(df, "source", 16, row_key="doc_id", factors=factors)
+    sizes = (
+        salted.filter(F.col("source") == "src-hot")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    # hot rows span multiple partitions ((source,salt) tuples can collide in
+    # the partition hash, so <= S distinct partitions, but always > 1)
+    assert 1 < len(sizes) <= factors["src-hot"]
+    counts = [r["count"] for r in sizes]
+    # unsalted would be 100% in one partition; salted: no partition dominates
+    assert max(counts) < sum(counts) * 0.5
+
+
+def test_json_parse_evaluated_once_per_row(spark, tokens_path):
+    """The first-match-wins chain must not re-evaluate from_json per
+    reference (parsed/parser/canonical/event_time all derive from ONE
+    struct)."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [('{"a":"1"}', datetime.datetime(2024, 1, 1))], "raw string, ingest_time timestamp"
+    )
+    out = ParserChain([JsonParser()]).apply(df)
+    plan = plan_of(out.select("parsed", "parser", "canonical", "event_time"))
+    assert plan.count("from_json") <= 2  # one for the map view (+1 tolerated
+    # for the variant canonical path) — never one per derived column
+
+
+def test_grep_filter_stays_in_scan_stage(spark, tokens_path):
+    """Filter chain compiles to a plain Filter over the scan (no shuffle,
+    no UDF node for the JVM path)."""
+    import datetime
+
+    from go_log_forwarder_spark.functions.filters import GrepFilter
+
+    df = spark.createDataFrame(
+        [('{"a":"1"}', "t", datetime.datetime(2024, 1, 1))],
+        "raw string, tag string, ingest_time timestamp",
+    )
+    out = GrepFilter(op="and", include=("x",)).apply(ParserChain([JsonParser()]).apply(df))
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tokens_path):
+    """Both sides bucketed on the join key -> SortMergeJoin with ZERO
+    Exchange (co-located join; the bucketing strategy for repeated joins
+    at 10^12 rows)."""
+    from go_log_forwarder_spark.operators.partitioning import write_bucketed
+
+    df = spark.read.parquet(tokens_path)
+    write_bucketed(df.select("doc_id", "source", "n_tok"), "t_buck_a", key="doc_id", buckets=8)
+    write_bucketed(df.select("doc_id", "tokens"), "t_buck_b", key="doc_id", buckets=8)
+    # disable broadcast so the planner must choose between shuffle and
+    # buckets (at 10^12 rows neither side broadcasts anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_buck_a").join(spark.table("t_buck_b"), "doc_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located by buckets
+        assert joined.count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
