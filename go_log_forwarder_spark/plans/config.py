@@ -108,6 +108,80 @@ def build_input_df(spark: SparkSession, input_cfg: dict) -> DataFrame:
     raise ValueError(f"unsupported batch input type {t!r} (tcp is streaming-only)")
 
 
+def execute_plan(
+    spark: SparkSession, plan: PipelinePlan, out_dir: str, stdout_limit: int = 20
+) -> dict[str, int]:
+    """Full run: build the pipeline, fan out to every configured output
+    (engine.go:137-143). Returns per-sink routed-row counts.
+
+    Sink kinds: ``counter`` counts (counter.go:46-62); ``stdout`` prints up
+    to ``stdout_limit`` formatted lines (json/plain/template per Format,
+    stdout.go:95-107) and appends the full formatted set to parquet;
+    ``splunk``/``gelf``/``parquet`` append their formatted payloads to
+    parquet tables under ``out_dir`` (the graft sink mapping, SURVEY §2.7).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from ..operators import sinks as sink_fmt
+    from ..operators.routing import fan_out_writes
+
+    df = build_pipeline(spark, plan)
+
+    def write_fn(spec: SinkSpec, sdf: DataFrame) -> None:
+        cfg = plan.sink_configs.get(spec.name, {})
+        kind = spec.kind
+        if kind == "counter":
+            return  # counts are returned by fan_out_writes for every sink
+        if kind == "stdout":
+            fmt = (cfg.get("Format") or "json").lower()
+            if fmt == "json":
+                out = sink_fmt.stdout_json_col(
+                    _F.col("canonical"), _F.col("tag"), _F.col("event_time"),
+                    _F.col("line_num"), _F.col("source"),
+                )
+            elif fmt == "plain":
+                out = sink_fmt.stdout_plain_col(
+                    _F.col("parsed"), _F.col("raw"), _F.col("tag"), _F.col("event_time")
+                )
+            else:
+                out = sink_fmt.template_col(
+                    cfg.get("Template", ""), _F.col("parsed"), _F.col("tag"),
+                    _F.col("event_time"),
+                )
+            if cfg.get("Colors"):
+                out = sink_fmt.colorize_col(out)
+            lines = sdf.select(out.alias("line"))
+            for r in lines.take(stdout_limit):
+                print(r["line"])
+            lines.write.mode("append").parquet(_os.path.join(out_dir, spec.name))
+            return
+        if kind == "splunk":
+            payload = sink_fmt.splunk_event_col(
+                _F.col("parsed"), _F.col("raw"), _F.col("event_time"),
+                _F.col("source"), _F.col("line_num"),
+                index=cfg.get("Index", "main"),
+                event_host=cfg.get("EventHost", ""),
+                source_type=cfg.get("SourceType", "_json"),
+                send_raw=bool(cfg.get("SendRaw")),
+                event_fields=cfg.get("EventFields"),
+            )
+        elif kind == "gelf":
+            payload = sink_fmt.gelf_message_col(
+                _F.col("canonical"), _F.col("raw"), _F.col("event_time"),
+                host=cfg.get("Host", "spark"),
+            )
+        else:  # plain parquet table of the routed rows
+            sdf.write.mode("append").parquet(_os.path.join(out_dir, spec.name))
+            return
+        sdf.select(payload.alias("payload")).write.mode("append").parquet(
+            _os.path.join(out_dir, spec.name)
+        )
+
+    return fan_out_writes(df, plan.sinks, write_fn)
+
+
 def build_pipeline(spark: SparkSession, plan: PipelinePlan) -> DataFrame:
     """inputs -> union (S8, engine.go:21,59-68) -> parser chain -> filters.
 

@@ -233,3 +233,51 @@ def test_multimodal_column_pruning(spark):
     media.write.mode("overwrite").parquet(d)
     plan = spark.read.parquet(d).select("media_id", "kind")._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan  # pruned at the scan
+
+
+def test_execute_plan_full_run(spark, tmp_path, monkeypatch):
+    """YAML -> build -> fan-out to counter/stdout/splunk sinks, end-to-end
+    (engine.go:137-143 + config.go:130-160)."""
+    import os
+
+    from go_log_forwarder_spark.plans.config import execute_plan
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "app.log").write_text(
+        '{"level":"error","k":"1"}\n{"level":"info","k":"2"}\nnot json\n'
+    )
+    monkeypatch.setenv("GLFS_GLOB2", str(logs / "*.log"))
+    cfg = """
+Inputs:
+  - Type: "tail"
+    Tag: "app-log"
+    Glob: "${GLFS_GLOB2}"
+Parsers:
+  - Type: "json"
+Outputs:
+  - Type: counter
+    Match: "*"
+  - Type: stdout
+    Name: out_json
+    Match: "app-*"
+    Format: json
+  - Type: splunk
+    Name: hec
+    Match: "app-log"
+    Index: idx
+    EventFields:
+      env: prod
+"""
+    from go_log_forwarder_spark.plans.config import load_plan
+
+    plan = load_plan(text=cfg)
+    out = str(tmp_path / "out")
+    counts = execute_plan(spark, plan, out)
+    assert counts == {"counter_0": 3, "out_json": 3, "hec": 3}
+    hec = spark.read.parquet(os.path.join(out, "hec")).collect()
+    payloads = [json.loads(r["payload"]) for r in hec]
+    parsed_events = [p["event"] for p in payloads if p["event"] is not None]
+    assert all(p["index"] == "idx" for p in payloads)
+    assert all(e["env"] == "prod" for e in parsed_events)
+    assert len(parsed_events) == 2  # the unparsed line sends event null
