@@ -46,6 +46,21 @@ def per_sink_source_counts(
     )
 
 
+def per_partition_metrics(parsed_df: DataFrame, run_id: str = "run") -> DataFrame:
+    """A2 (north rule): per-PHYSICAL-partition accounting — rows_in /
+    rows_parsed per spark_partition_id, the executor-granular twin of the
+    per-unit lineage metrics (plans/lineage.py). One map-side pass +
+    one tiny shuffle over (partition_id) rows."""
+    return (
+        parsed_df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.when(F.col("parsed").isNotNull(), 1).otherwise(0)).alias("rows_parsed"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
 def pipeline_metrics(
     parsed_df: DataFrame,
     kept_df: DataFrame,

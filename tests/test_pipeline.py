@@ -147,3 +147,13 @@ def test_broadcast_enrich_left_join(spark):
     # the join must be a broadcast hash join
     plan = broadcast_enrich(df, lookup)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_per_partition_metrics(spark, pipeline_df):
+    from go_log_forwarder_spark.operators.aggregate import per_partition_metrics
+
+    parsed, _ = pipeline_df
+    m = per_partition_metrics(parsed, run_id="r").collect()
+    assert sum(r["rows_in"] for r in m) == 300
+    assert all(r["rows_parsed"] <= r["rows_in"] for r in m)
+    assert len(m) >= 1 and all(r["run_id"] == "r" for r in m)
