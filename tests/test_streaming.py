@@ -62,3 +62,48 @@ def test_stream_fanout_and_restart(spark, tmp_path):
     q2.stop()
     ids = sorted(r["id"] for r in spark.read.parquet(f"{outdir}/all").select("id").collect())
     assert ids == list(range(80))  # no dup, no loss across restart
+
+
+def test_running_counter_stateful(spark, tmp_path):
+    """counter.go's monotone per-key count across micro-batches via
+    applyInPandasWithState: totals accumulate, per-batch rows reported."""
+    from go_log_forwarder_spark.streaming.stateful import running_counter
+
+    indir = str(tmp_path / "sin")
+    ckpt = str(tmp_path / "sckpt")
+    out = str(tmp_path / "sout")
+    _mk_batch(spark, 0, 30).coalesce(1).write.mode("append").parquet(indir)
+
+    def start():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        return (
+            running_counter(
+                spark.readStream.schema(SCHEMA).parquet(indir), key_col="tag"
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first = {
+        r["key"]: r["running_total"] for r in spark.read.parquet(out).collect()
+    }
+    n_err1 = len([i for i in range(30) if i % 3 == 0])
+    assert first == {"evt-error": n_err1, "evt-ok": 30 - n_err1}
+
+    # second batch arrives; restart from checkpoint -> totals CONTINUE
+    _mk_batch(spark, 30, 80).coalesce(1).write.mode("append").parquet(indir)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    totals: dict = {}
+    for r in spark.read.parquet(out).collect():
+        totals[r["key"]] = max(totals.get(r["key"], 0), r["running_total"])
+    n_err_all = len([i for i in range(80) if i % 3 == 0])
+    assert totals == {"evt-error": n_err_all, "evt-ok": 80 - n_err_all}
