@@ -424,6 +424,19 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
 
 
+def q_windowed_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window per-sink counts (streaming §2.9 extension,
+    batch-mode twin): 1-hour windows over ingest time."""
+    kept = _kept(spark, sf_dir)
+    routed = route_exploded(kept, SINKS)
+    return routed.groupBy(
+        F.window(F.col("ingest_time"), "1 hour").alias("win"),
+        F.col("sink").alias("sink_name"),
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("win.start").alias("window_start"), "sink_name", "n"
+    )
+
+
 GROK_EXPR = "%{LOGLEVEL:level} id=%{INT:id} user=%{INT:user}"
 # LOGLEVEL alternation body (strip the (?: ... ) wrapper) for the oracle SQL
 _LOGLEVEL_RE = grok_to_regex("%{LOGLEVEL}")[3:-1]
@@ -598,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "windowed_route_counts": q_windowed_route_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "tokens_dedup_exact": q_tokens_dedup_exact,
         "token_bigrams_topk": q_token_bigrams_topk,
@@ -731,6 +745,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "windowed_route_counts": _BASE_CTE.replace(
+            "FROM events",
+            ", time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events",
+        ).replace(
+            "SELECT event_id,",
+            "SELECT event_id, ts,",
+        )
+        + " "
+        + " UNION ALL ".join(
+            f"SELECT window_start, '{s.name}' AS sink_name, COUNT(*)::BIGINT AS n "
+            f"FROM kept WHERE {_sink_pred_sql(s)} GROUP BY window_start"
+            for s in SINKS
+        ),
         "dedup_embedding_cosine": f"""
             WITH qz AS (SELECT vec_id AS id, list_transform(embedding,
                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
