@@ -424,6 +424,32 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
 
 
+def q_http_lines_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 http input: reassemble per-user POST bodies (deterministic order),
+    split them with http.go's exact line numbering (empty lines skipped and
+    NOT counted), emit (source, line_num, raw)."""
+    from go_log_forwarder_spark.sources.http import http_body_lines
+
+    ev = _events(spark, sf_dir)
+    line = F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.col("event_type"), F.lit(" "), F.col("event_id").cast("string"))
+    )
+    bodies = (
+        ev.select((F.col("user_id") % 20).cast("string").alias("remote_addr"),
+                  F.struct(F.col("event_id"), line.alias("line")).alias("s"))
+        .groupBy("remote_addr")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x.getField("line")),
+                "\n",
+            ).alias("body")
+        )
+    )
+    return http_body_lines(bodies, enforce_cap=False).select(
+        "source", "line_num", "raw"
+    )
+
+
 def q_windowed_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window per-sink counts (streaming §2.9 extension,
     batch-mode twin): 1-hour windows over ingest time."""
@@ -611,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "http_lines_split": q_http_lines_split,
         "windowed_route_counts": q_windowed_route_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "tokens_dedup_exact": q_tokens_dedup_exact,
@@ -745,6 +772,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "http_lines_split": """
+            WITH lines AS (
+                SELECT CAST(user_id % 20 AS VARCHAR) AS source,
+                       CASE WHEN event_id % 5 = 0 THEN ''
+                            ELSE event_type || ' ' || event_id END AS raw,
+                       event_id
+                FROM events
+            ),
+            nonempty AS (
+                SELECT source, raw,
+                       CAST(row_number() OVER (PARTITION BY source ORDER BY event_id) AS BIGINT) AS line_num
+                FROM lines WHERE length(raw) > 0
+            )
+            SELECT source, line_num, raw FROM nonempty
+        """,
         "windowed_route_counts": _BASE_CTE.replace(
             "FROM events",
             ", time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events",

@@ -64,11 +64,18 @@ def main() -> None:
     # warm-up: JVM JIT + parquet footer/page cache (untimed)
     materialize(entry_mod.q_route_per_sink_counts(spark, sf_dir))
 
+    # min-of-N per query: the host is heavily time-shared (identical runs
+    # vary up to 30x — see BASELINE.md); the minimum is the least-interfered
+    # estimate of the actual cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
