@@ -424,6 +424,35 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (beyond-reference log-analytics op): per-user sessions
+    split on >30-minute gaps (lag + cumulative-sum windows); per-session
+    row counts and bounds."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap math: DuckDB's epoch() is a fractional DOUBLE
+    # while a long cast truncates — epoch_us/unix_micros agree exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gap = us - F.lag(us).over(w)
+    with_gap = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sessions = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def q_http_lines_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 http input: reassemble per-user POST bodies (deterministic order),
     split them with http.go's exact line numbering (empty lines skipped and
@@ -637,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "sessionize": q_sessionize,
         "http_lines_split": q_http_lines_split,
         "windowed_route_counts": q_windowed_route_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -772,6 +802,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM g
+            )
+            SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM s GROUP BY user_id, session_seq
+        """,
         "http_lines_split": """
             WITH lines AS (
                 SELECT CAST(user_id % 20 AS VARCHAR) AS source,
