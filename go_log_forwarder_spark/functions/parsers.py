@@ -182,9 +182,18 @@ class ParserChain:
     parsers: list = field(default_factory=list)
 
     def apply(self, df, raw_col: str = "raw", ingest_time_col: str = "ingest_time"):
-        raw = F.col(raw_col)
         result = None  # struct(parsed, parser, canonical, event_time)
         for p in self.parsers:
+            # first-match-wins short circuit that survives UDF extraction:
+            # a pandas UDF is computed in its own ArrowEvalPython node for
+            # EVERY row regardless of the later coalesce, so mask the input
+            # to NULL for rows an earlier parser already matched — the
+            # kernel's None fast-path skips them.
+            raw = (
+                F.col(raw_col)
+                if result is None
+                else F.when(result.isNull(), F.col(raw_col))
+            )
             parsed = p.parsed_col(raw)
             tcol = p.time_col(parsed)
             event_time = (
