@@ -255,3 +255,76 @@ def simhash_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> s
         WITH dw AS (SELECT DISTINCT {id_col} AS id, unnest({ws}) AS word FROM {table})
         SELECT id, CAST({terms} AS BIGINT) AS simhash FROM dw GROUP BY id
     """
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-dup clustering: connected components over a pair relation
+    (id_a, id_b) via iterative min-label propagation — the dedup step that
+    picks ONE representative per duplicate group.
+
+    Each iteration is one join + aggregate (labels against the undirected
+    edge set); convergence is checked with a cheap count of changed labels.
+    At 10^12-row scale the edge relation comes from LSH (sparse); iteration
+    count is bounded by the cluster diameter (small for dup clusters).
+    Returns (id, cluster_id) with cluster_id = min id in the component.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dup_clusters_sql(edges_sql: str) -> str:
+    """DuckDB oracle twin: recursive min-reachability closure over the same
+    edge relation (``edges_sql`` must yield columns id_a, id_b)."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT id_a AS src, id_b AS dst FROM ({edges_sql}) t
+            UNION ALL
+            SELECT id_b, id_a FROM ({edges_sql}) t
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM e
+            UNION
+            SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+        )
+        SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """
