@@ -913,210 +913,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding_cosine": _emb_pairs_sql(),
         "dedup_clusters": dd.dup_clusters_sql(_emb_pairs_sql()),
-        "tokens_dedup_exact": q_tokens_dedup_exact,
-        "token_bigrams_topk": q_token_bigrams_topk,
-        "grok_parse_groups": q_grok_parse_groups,
-        "multimodal_features": q_multimodal_features,
-        "stream_route_counts": q_stream_route_counts,
-        "resume_lineage_metrics": q_resume_lineage_metrics,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    per_sink_counts_sql = " UNION ALL ".join(
-        f"SELECT '{s.name}' AS sink_name, (SELECT COUNT(*) FROM kept WHERE {_sink_pred_sql(s)})::BIGINT AS n"
-        for s in SINKS
-    )
-    per_sink_source_sql = " UNION ALL ".join(
-        f"SELECT '{s.name}' AS sink_name, source, COUNT(*)::BIGINT AS n FROM kept WHERE {_sink_pred_sql(s)} GROUP BY source"
-        for s in SINKS
-    )
-    routed_per_source = " UNION ALL ".join(
-        f"SELECT source, event_id FROM kept WHERE {_sink_pred_sql(s)}" for s in SINKS
-    )
-    lookup_values = ", ".join(f"('{t}', '{team}', {p})" for t, team, p in LOOKUP_ROWS)
-    tag_matrix = " UNION ALL ".join(
-        f"SELECT tag, '{s.name}' AS sink_name FROM tags WHERE {_sink_pred_sql(s)}"
-        for s in SINKS
-    )
-    tok_route = " UNION ALL ".join(
-        f"SELECT '{s.name}' AS sink_name, n, sum_n_tok FROM "
-        f"(SELECT COUNT(*)::BIGINT AS n, SUM(CAST(n_tok AS BIGINT)) AS sum_n_tok "
-        f" FROM tagged WHERE {_sink_pred_sql(s)}) WHERE n > 0"
-        for s in TOK_SINKS
-    )
-    return {
-        "route_per_sink_counts": _BASE_CTE + per_sink_counts_sql,
-        "route_per_sink_source_counts": _BASE_CTE + per_sink_source_sql,
-        "json_parse_extract": _BASE_CTE
-        + """
-            SELECT tag,
-                   COUNT(*)::BIGINT AS rows_in,
-                   COUNT(k)::BIGINT AS n_parsed,
-                   SUM(CAST(k AS BIGINT)) AS sum_k
-            FROM base GROUP BY tag
-        """,
-        "pipeline_metrics": _BASE_CTE
-        + f"""
-            , routed AS ({routed_per_source})
-            SELECT b.source,
-                   COUNT(*)::BIGINT AS rows_in,
-                   COUNT(b.k)::BIGINT AS rows_parsed,
-                   (COUNT(*) - (SELECT COUNT(*) FROM kept k2 WHERE k2.source = b.source))::BIGINT AS rows_dropped,
-                   (SELECT COUNT(*) FROM routed r WHERE r.source = b.source)::BIGINT AS rows_routed
-            FROM base b GROUP BY b.source
-        """,
-        "routed_rows_err_sink": _BASE_CTE
-        + f"""
-            SELECT event_id, tag, source, CAST(k AS BIGINT) AS k
-            FROM kept WHERE {_sink_pred_sql(SinkSpec('sink_err', 'evt-err*'))}
-        """,
-        "tag_sink_matrix": _BASE_CTE
-        + f", tags AS (SELECT DISTINCT tag FROM base) {tag_matrix}",
-        "enrich_broadcast_lookup": _BASE_CTE
-        + f"""
-            , lookup(event_type, team, priority) AS (VALUES {lookup_values})
-            SELECT l.team,
-                   COUNT(*)::BIGINT AS n,
-                   SUM(CAST(ROUND(k2.value * 100) AS BIGINT)) AS sum_cents,
-                   MAX(l.priority) AS max_priority
-            FROM kept k2 LEFT JOIN lookup l USING (event_type)
-            GROUP BY l.team
-        """,
-        "regex_parse_groups": f"""
-            WITH raws AS (
-                SELECT event_id,
-                       CASE WHEN event_id % {REGEX_CORRUPT_MOD} = 0 THEN '~~' ELSE '' END
-                       || upper(event_type) || ' id=' || event_id || ' user=' || user_id AS raw
-                FROM events
-            ), parsed AS (
-                SELECT CASE WHEN event_id % {REGEX_CORRUPT_MOD} <> 0
-                            THEN regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 1) END AS level,
-                       CASE WHEN event_id % {REGEX_CORRUPT_MOD} <> 0
-                            THEN regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 2) END AS id,
-                       CASE WHEN event_id % {REGEX_CORRUPT_MOD} <> 0
-                            THEN regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 3) END AS user
-                FROM raws
-            )
-            SELECT level, COUNT(*)::BIGINT AS n,
-                   SUM(CAST(id AS BIGINT)) AS sum_id,
-                   SUM(CAST(user AS BIGINT)) AS sum_user
-            FROM parsed GROUP BY level
-        """,
-        "parser_chain_first_match": f"""
-            SELECT CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN NULL
-                        WHEN event_id % 2 = 0 THEN 'json'
-                        ELSE 'regex' END AS parser,
-                   COUNT(*)::BIGINT AS n
-            FROM events GROUP BY 1
-        """,
-        "tokens_roundtrip_equality": _TOKENS_CTE
-        + """
-            SELECT doc_id, tokens, n_tok, source,
-                   TRUE AS roundtrip_ok, TRUE AS len_ok
-            FROM toks
-        """,
-        "tokens_route_counts": _TOKENS_CTE
-        + f""", tagged AS (SELECT *, 'tok-' || source AS tag FROM toks)
-            {tok_route}
-        """,
-        "tokens_salted_per_source": _TOKENS_CTE
-        + """
-            SELECT source, COUNT(*)::BIGINT AS n,
-                   SUM(CAST(n_tok AS BIGINT)) AS sum_n_tok,
-                   SUM(CAST(tokens[1] AS BIGINT)) AS sum_first_tok
-            FROM toks GROUP BY source
-        """,
-        "text_token_count": "SELECT doc_id, "
-        + ", ".join(ts.token_count_sql("text"))
-        + " FROM documents",
-        "text_quality": "SELECT doc_id, "
-        + ", ".join(ts.quality_sql("text"))
-        + " FROM documents",
-        "text_lang_id": "SELECT doc_id, lang, "
-        + ts.lang_guess_sql("text")
-        + " AS lang_guess FROM documents",
-        "doc_fingerprint": "SELECT doc_id, "
-        + ", ".join(ts.fingerprint_sql("text"))
-        + " FROM documents",
-        "dedup_exact": dd.exact_dedup_sql("documents"),
-        "dedup_jaccard_pairs": dd.jaccard_pairs_sql("documents", threshold=JACCARD_THRESHOLD),
-        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
-        "dedup_simhash": dd.simhash_sql("documents"),
-        "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
-        "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
-        "tokens_quality_filter": _TOKENS_CTE
-        + f"""
-            , scored AS (
-                SELECT source, n_tok,
-                       {ts.micro_sql("CAST(len(list_distinct(tokens)) AS DOUBLE) / n_tok")} AS distinct_micro
-                FROM toks
-            )
-            SELECT source, COUNT(*)::BIGINT AS rows_in,
-                   SUM(CASE WHEN n_tok >= 8 AND n_tok <= 120 AND distinct_micro >= 500000
-                            THEN 1 ELSE 0 END)::BIGINT AS rows_kept,
-                   SUM(CASE WHEN n_tok >= 8 AND n_tok <= 120 AND distinct_micro >= 500000
-                            THEN distinct_micro END)::BIGINT AS sum_kept_distinct_micro
-            FROM scored GROUP BY source
-        """,
-        "sessionize": """
-            WITH g AS (
-                SELECT user_id, ts, event_id,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ),
-            s AS (
-                SELECT user_id, ts,
-                       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-                FROM g
-            )
-            SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
-                   MIN(ts) AS session_start, MAX(ts) AS session_end
-            FROM s GROUP BY user_id, session_seq
-        """,
-        "http_lines_split": """
-            WITH lines AS (
-                SELECT CAST(user_id % 20 AS VARCHAR) AS source,
-                       CASE WHEN event_id % 5 = 0 THEN ''
-                            ELSE event_type || ' ' || event_id END AS raw,
-                       event_id
-                FROM events
-            ),
-            nonempty AS (
-                SELECT source, raw,
-                       CAST(row_number() OVER (PARTITION BY source ORDER BY event_id) AS BIGINT) AS line_num
-                FROM lines WHERE length(raw) > 0
-            )
-            SELECT source, line_num, raw FROM nonempty
-        """,
-        "windowed_route_counts": _BASE_CTE.replace(
-            "FROM events",
-            ", time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events",
-        ).replace(
-            "SELECT event_id,",
-            "SELECT event_id, ts,",
-        )
-        + " "
-        + " UNION ALL ".join(
-            f"SELECT window_start, '{s.name}' AS sink_name, COUNT(*)::BIGINT AS n "
-            f"FROM kept WHERE {_sink_pred_sql(s)} GROUP BY window_start"
-            for s in SINKS
-        ),
-        "dedup_embedding_cosine": f"""
-            WITH qz AS (SELECT vec_id AS id, list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
-                        FROM embeddings),
-            pairs AS (
-                SELECT a.id AS id_a, b.id AS id_b,
-                       {ts.micro_sql("CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS DOUBLE) / sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])) * list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])) AS DOUBLE))")} AS cosine_micro
-                FROM qz a JOIN qz b ON a.id < b.id
-            )
-            SELECT * FROM pairs WHERE cosine_micro >= {EMB_DEDUP_MICRO}
-        """,
         "tokens_dedup_exact": _TOKENS_CTE
         + """
             SELECT md5(array_to_string(tokens, ',')) AS seq_hash,
