@@ -396,16 +396,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: (a, b, cosine_micro) above the
     threshold — the semantic-dedup variant (exact-int cosine, id_a < id_b).
     Production threshold would be ~0.95; the synthetic embeddings are
-    random so the gate uses a value that yields a non-trivial pair set."""
-    emb = _embeddings(spark, sf_dir)
-    q = emb.select(F.col("vec_id").alias("id_a"), sim.quantize(F.col("embedding")).alias("va"))
-    c = emb.select(F.col("vec_id").alias("id_b"), sim.quantize(F.col("embedding")).alias("vb"))
-    pairs = q.join(c, F.col("id_a") < F.col("id_b")).withColumn(
-        "cosine_micro", sim.cosine_col(F.col("va"), F.col("vb"))
-    )
-    return pairs.filter(F.col("cosine_micro") >= EMB_DEDUP_MICRO).select(
-        "id_a", "id_b", "cosine_micro"
-    )
+    random so the gate uses a value that yields a non-trivial pair set.
+
+    Implementation: numpy-blocked exact-int matmul (sim.all_pairs_cosine_micro)
+    — a Column-expression cross join gets the cosine filter pushed into the
+    BroadcastNestedLoopJoin condition, evaluating the interpreted HOF dot
+    product for every n x n candidate twice."""
+    return sim.all_pairs_cosine_micro(_embeddings(spark, sf_dir), EMB_DEDUP_MICRO)
 
 
 def q_tokens_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,14 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "windowed_route_counts",
+    "sessionize",
+    "http_lines_split",
+    "tokens_quality_filter",
+    "tokens_dedup_exact",
+    "token_bigrams_topk",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
 ]
 
 

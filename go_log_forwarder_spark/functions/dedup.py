@@ -273,43 +273,42 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    edges = edges.persist()
+    # localCheckpoint (eager) truncates lineage each iteration — without it
+    # the logical plan doubles per round and Catalyst analysis time blows up
+    # (the classic iterative-DataFrame trap).
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iters):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("cluster_id").alias("nmin"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
-            new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                    ).alias("cluster_id"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels
-    finally:
-        edges.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def dup_clusters_sql(edges_sql: str) -> str:

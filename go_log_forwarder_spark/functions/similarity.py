@@ -165,3 +165,64 @@ def lsh_topk_sql(
         FROM scored
         QUALIFY rank <= {k}
     """
+
+
+def all_pairs_cosine_micro(
+    emb: DataFrame,
+    threshold_micro: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-dup pairs via numpy-blocked EXACT-INT matmul.
+
+    Why not Columns: Catalyst pushes the cosine filter into the
+    BroadcastNestedLoopJoin condition, so the (interpreted, non-codegen)
+    higher-order dot product evaluates for every n x n candidate — twice.
+    Here each partition computes an int64 block-matmul (C speed) against a
+    broadcast quantized corpus: the standard brute-force-ANN block design.
+    At 10^12 scale the corpus side comes from LSH/IVF buckets, not a full
+    broadcast (see lsh_topk); the kernel is the same.
+
+    Exactness: quantized int64 dot products are exact; int64->float64 and
+    the final division/sqrt are IEEE-identical to the DuckDB oracle.
+    Emits (id_a, id_b, cosine_micro) with id_a < id_b, micro >= threshold.
+    """
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.floor(
+        np.asarray([r[1] for r in rows], dtype=np.float64) * QUANT + 0.5
+    ).astype(np.int64)
+    norms = (M * M).sum(axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_all, M_all, norms_all = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                * QUANT + 0.5
+            ).astype(np.int64)
+            a_norms = (A * A).sum(axis=1)
+            dots = A @ M_all.T  # exact int64
+            cos = dots.astype(np.float64) / np.sqrt(
+                (a_norms[:, None] * norms_all[None, :]).astype(np.float64)
+            )
+            micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
+            keep = (micro >= threshold_micro) & (a_ids[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": ids_all[bi],
+                    "cosine_micro": micro[ai, bi],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, "id_a long, id_b long, cosine_micro long"
+    )
