@@ -436,10 +436,14 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bigrams = toks.select(F.explode(gram_list).alias("bigram"))
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k +
+    # merge) — a global row_number window would shuffle EVERY distinct
+    # bigram into one partition. Rank is assigned on the 20-row result.
     from pyspark.sql.window import Window
 
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
