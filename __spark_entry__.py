@@ -653,6 +653,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: coarse-quantizer bucket assignment + nprobe search."""
+    emb = _embeddings(spark, sf_dir)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def _minhash_lsh_oracle_sql() -> str:
     cands = dd.lsh_candidates_sql("documents")
     ws = "regexp_split_to_array(trim(text), '\\s+')"
@@ -713,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_clusters": q_dedup_clusters,
         "tokens_quality_filter": q_tokens_quality_filter,
         "sessionize": q_sessionize,
@@ -851,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "ann_ivf_topk": sim.ivf_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "tokens_quality_filter": _TOKENS_CTE
         + f"""
             , scored AS (

@@ -226,3 +226,135 @@ def all_pairs_cosine_micro(
     return emb.select(id_col, vec_col).mapInPandas(
         kernel, "id_a long, id_b long, cosine_micro long"
     )
+
+
+# --- IVF (inverted-file) variant --------------------------------------------
+
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 4  # buckets probed per query
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = IVF_K
+) -> DataFrame:
+    """IVF coarse assignment: nearest of K deterministic seed centroids
+    (the first K vectors by id) under exact-int squared L2
+    ``d = |a|^2 + |c|^2 - 2<a,c>``. Ties break by centroid index.
+
+    The centroid side is tiny and broadcast; assignment is one narrow pass
+    — the partitioning structure of an IVF index at any scale. (A trained
+    k-means quantizer slots into the same shape; seeds keep the whole
+    index reproducible in the DuckDB oracle.)
+    Returns (id, v quantized, norm2, centroid int, dist bigint)."""
+    qz = emb.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("norm2", int_dot(F.col("v"), F.col("v")))
+    cents = (
+        qz.filter(F.col("id") < k)
+        .select(
+            F.col("id").cast("int").alias("cidx"),
+            F.col("v").alias("cv"),
+            F.col("norm2").alias("cn"),
+        )
+    )
+    joined = qz.join(F.broadcast(cents)).withColumn(
+        "dist", F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cidx"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", "norm2", F.col("cidx").alias("centroid"), "dist")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the nprobe nearest centroid buckets per query,
+    brute-force cosine inside them (query side broadcast)."""
+    assigned = ivf_assign(emb, id_col, vec_col)
+    # per query: the nprobe nearest centroids (distances to all centroids
+    # computed for the query rows only)
+    qz = emb.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    ).join(queries.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
+    qz = qz.withColumn("qn", int_dot(F.col("qv"), F.col("qv")))
+    cents = (
+        emb.select(F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("cv"))
+        .filter(F.col("cid") < IVF_K)
+        .withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
+        .select(F.col("cid").cast("int").alias("cidx"), "cv", "cn")
+    )
+    qc = qz.join(F.broadcast(cents)).withColumn(
+        "dist", F.col("qn") + F.col("cn") - 2 * int_dot(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cidx"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cidx").alias("centroid"))
+    )
+    cands = probes.join(
+        assigned.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("cv2"),
+            F.col("norm2").alias("nn"),
+            "centroid",
+        ),
+        "centroid",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = int_dot(F.col("qv"), F.col("cv2")).cast("double") / F.sqrt(
+        (F.col("qn") * F.col("nn")).cast("double")
+    )
+    scored = cands.withColumn(
+        "cosine_micro", F.floor(cos * 1000000.0 + 0.5).cast("bigint")
+    ).select("query_id", "neighbor_id", "cosine_micro")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_micro"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_sql(
+    table: str, query_pred: str, k: int = 10, nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    dist = "qz.norm2 + c.cn - 2 * list_sum(list_transform(generate_series(1, len(qz.v)), i -> qz.v[i] * c.cv[i]))"
+    return f"""
+        WITH qz AS (
+            SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v,
+                   {_dot_sql(_quant_sql(vec_col), _quant_sql(vec_col))} AS norm2
+            FROM {table}
+        ),
+        cents AS (
+            SELECT CAST(id AS INT) AS cidx, v AS cv, norm2 AS cn FROM qz WHERE id < {IVF_K}
+        ),
+        assigned AS (
+            SELECT id, v, norm2, cidx AS centroid FROM (
+                SELECT qz.id, qz.v, qz.norm2, c.cidx,
+                       row_number() OVER (PARTITION BY qz.id ORDER BY {dist}, c.cidx) AS rn
+                FROM qz CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT id AS query_id, v AS qv, norm2 AS qn, cidx AS centroid FROM (
+                SELECT qz.id, qz.v, qz.norm2, c.cidx,
+                       row_number() OVER (PARTITION BY qz.id ORDER BY {dist}, c.cidx) AS rn
+                FROM qz CROSS JOIN cents c
+                WHERE qz.id IN (SELECT {id_col} FROM {table} WHERE {query_pred.replace('id', id_col)})
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, a.id AS neighbor_id,
+                   {micro_sql("CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn * a.norm2 AS DOUBLE))")} AS cosine_micro
+            FROM probes p JOIN assigned a USING (centroid)
+            WHERE a.id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_micro,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
