@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "windowed_route_counts",
     "sessionize",
     "http_lines_split",
