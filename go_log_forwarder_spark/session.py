@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default 4MB models HDFS seek cost; log corpora are MANY tiny files
+        # and the default gives one task per file (500 files -> 500 tasks).
+        # 64KB packs them into size-based splits on local/NVMe/object stores.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
