@@ -156,3 +156,43 @@ def test_lsh_topk_bucket_restricts(spark):
     ids = {r["neighbor_id"] for r in out}
     assert 3 not in ids  # negative first dim -> different sign bucket
     assert 1 in ids
+
+
+def test_all_pairs_cosine_matches_column_kernel(spark):
+    """numpy block-matmul kernel == the Column cosine on identical inputs."""
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_micro"]
+        for r in sim.all_pairs_cosine_micro(emb, -2_000_000).collect()
+    }
+    # golden from the Column path (brute_force_topk cosine per pair)
+    import math
+
+    def q(v):
+        return [math.floor(float(x) * 10000 + 0.5) for x in v]
+
+    want = {}
+    for i, a in VECS:
+        for j, b in VECS:
+            if i < j:
+                qa, qb = q(a), q(b)
+                dot = sum(x * y for x, y in zip(qa, qb))
+                na = sum(x * x for x in qa)
+                nb = sum(x * x for x in qb)
+                want[(i, j)] = math.floor(dot / math.sqrt(na * nb) * 1e6 + 0.5)
+    assert got == want
+
+
+def test_ivf_assign_and_search(spark):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+    assigned = {r["id"]: r["centroid"] for r in sim.ivf_assign(emb, k=2).collect()}
+    # centroids are vectors 0 and 1; every vector goes to its nearest seed
+    assert assigned[0] == 0 and assigned[1] == 1
+    assert assigned[3] in (0, 1) and len(assigned) == len(VECS)
+    out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=3, nprobe=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids[0] == 1  # nearest true neighbor found through the buckets
