@@ -358,3 +358,73 @@ def ivf_topk_sql(
                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
     """
+
+
+def kmeans_int(
+    emb: DataFrame,
+    k: int = IVF_K,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF coarse quantizer: integer k-means over quantized vectors.
+
+    Fully deterministic and engine-portable by construction: init = first k
+    vectors by id; assignment = exact-int squared L2 (ties to the lower
+    centroid index); update = per-dimension floor(int_sum / count) (floor of
+    an exact int ratio in doubles — both sums and counts are far below
+    2^53). Empty clusters keep their previous centroid. Each iteration is
+    one broadcast-assign pass + one posexplode aggregation — no driver-side
+    math; centroid arrays are rebuilt with a deterministic sort.
+    Returns (cidx int, cv array<bigint>) after ``iters`` Lloyd steps.
+    """
+    qz = emb.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("norm2", int_dot(F.col("v"), F.col("v")))
+    qz = qz.localCheckpoint(eager=True)
+    cents = (
+        qz.filter(F.col("id") < k)
+        .select(F.col("id").cast("int").alias("cidx"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cn = cents.withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
+        joined = qz.join(F.broadcast(cn)).withColumn(
+            "dist", F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("v"), F.col("cv"))
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cidx"))
+        assigned = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "v", F.col("cidx").alias("centroid"))
+        )
+        dims = assigned.select(
+            "centroid", F.posexplode(F.col("v")).alias("pos", "x")
+        )
+        sums = dims.groupBy("centroid", "pos").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_cents = (
+            sums.withColumn(
+                "cval",
+                F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint"),
+            )
+            .groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+                    ),
+                    lambda e: e.getField("cval"),
+                ).alias("cv")
+            )
+            .select(F.col("centroid").alias("cidx"), "cv")
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.select("cidx", F.col("cv").alias("cv_old"))
+            .join(new_cents, "cidx", "left")
+            .select("cidx", F.coalesce("cv", "cv_old").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents

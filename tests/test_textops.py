@@ -196,3 +196,34 @@ def test_ivf_assign_and_search(spark):
     out = sim.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=3, nprobe=2).collect()
     ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ids[0] == 1  # nearest true neighbor found through the buckets
+
+
+def test_kmeans_int_golden(spark):
+    """2 Lloyd steps of integer k-means == pure-Python reimplementation."""
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+    got = {r["cidx"]: list(r["cv"]) for r in sim.kmeans_int(emb, k=2, iters=2).collect()}
+
+    def q(v):
+        return [math.floor(float(x) * 10000 + 0.5) for x in v]
+
+    vecs = {i: q(v) for i, v in VECS}
+    cents = {0: vecs[0], 1: vecs[1]}
+    for _ in range(2):
+        groups = {0: [], 1: []}
+        for i, v in vecs.items():
+            dists = []
+            for c, cv in sorted(cents.items()):
+                d = sum(x * x for x in v) + sum(x * x for x in cv) - 2 * sum(
+                    a * b for a, b in zip(v, cv)
+                )
+                dists.append((d, c))
+            groups[min(dists)[1]].append(v)
+        for c in (0, 1):
+            if groups[c]:
+                n = len(groups[c])
+                cents[c] = [
+                    math.floor(sum(col) / n) for col in zip(*groups[c])
+                ]
+    assert got == cents
