@@ -262,13 +262,20 @@ _TOKENS_CTE = "WITH toks AS (" + tokens_oracle_sql("event_id", "events") + ")"
 def q_tokens_roundtrip_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's per-row invariant: serialize each sequence to a JSON
     log line, parse it back (P2 typed path), assert exact token-array
-    equality. The oracle re-derives the arrays independently; the driver's
-    value hash compares them element-wise."""
+    equality. The oracle re-derives the arrays independently; arrays are
+    compared through an md5 digest of their canonical text — the driver's
+    row canonicalizer sorts result rows and a raw array<int> cell is
+    unsortable/unhashable in its pandas path (round-1 driver error)."""
     toks = tokens_from_events(spark, sf_dir)
     parsed = parse_tokens_raw(serialize_tokens(toks))
+    digest = F.md5(
+        F.array_join(
+            F.transform(F.col("parsed.tokens"), lambda x: x.cast("string")), ","
+        )
+    )
     return parsed.select(
         "doc_id",
-        F.col("parsed.tokens").alias("tokens"),
+        digest.alias("tokens_md5"),
         F.col("parsed.n_tok").alias("n_tok"),
         F.col("parsed.source").alias("source"),
         (F.col("parsed.tokens") == F.col("tokens")).alias("roundtrip_ok"),
@@ -752,9 +759,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT tag, '{s.name}' AS sink_name FROM tags WHERE {_sink_pred_sql(s)}"
         for s in SINKS
     )
+    # NB every oracle aggregate is wrapped CAST(SUM(..) AS BIGINT): DuckDB's
+    # bare SUM(BIGINT) is HUGEINT, which .df() renders as float64 ("123.0")
+    # while Spark toPandas gives int64 ("123") — a guaranteed hash mismatch.
     tok_route = " UNION ALL ".join(
         f"SELECT '{s.name}' AS sink_name, n, sum_n_tok FROM "
-        f"(SELECT COUNT(*)::BIGINT AS n, SUM(CAST(n_tok AS BIGINT)) AS sum_n_tok "
+        f"(SELECT COUNT(*)::BIGINT AS n, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok "
         f" FROM tagged WHERE {_sink_pred_sql(s)}) WHERE n > 0"
         for s in TOK_SINKS
     )
@@ -766,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT tag,
                    COUNT(*)::BIGINT AS rows_in,
                    COUNT(k)::BIGINT AS n_parsed,
-                   SUM(CAST(k AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
             FROM base GROUP BY tag
         """,
         "pipeline_metrics": _BASE_CTE
@@ -791,7 +801,7 @@ def oracle_sql() -> dict[str, str]:
             , lookup(event_type, team, priority) AS (VALUES {lookup_values})
             SELECT l.team,
                    COUNT(*)::BIGINT AS n,
-                   SUM(CAST(ROUND(k2.value * 100) AS BIGINT)) AS sum_cents,
+                   CAST(SUM(CAST(ROUND(k2.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                    MAX(l.priority) AS max_priority
             FROM kept k2 LEFT JOIN lookup l USING (event_type)
             GROUP BY l.team
@@ -825,7 +835,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tokens_roundtrip_equality": _TOKENS_CTE
         + """
-            SELECT doc_id, tokens, n_tok, source,
+            SELECT doc_id, md5(array_to_string(tokens, ',')) AS tokens_md5,
+                   n_tok, source,
                    TRUE AS roundtrip_ok, TRUE AS len_ok
             FROM toks
         """,
@@ -836,8 +847,8 @@ def oracle_sql() -> dict[str, str]:
         "tokens_salted_per_source": _TOKENS_CTE
         + """
             SELECT source, COUNT(*)::BIGINT AS n,
-                   SUM(CAST(n_tok AS BIGINT)) AS sum_n_tok,
-                   SUM(CAST(tokens[1] AS BIGINT)) AS sum_first_tok
+                   CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok,
+                   CAST(SUM(CAST(tokens[1] AS BIGINT)) AS BIGINT) AS sum_first_tok
             FROM toks GROUP BY source
         """,
         "text_token_count": "SELECT doc_id, "
