@@ -375,28 +375,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_QUERY_PRED_SQL = "id < 5"
 
-EMB_DEDUP_MICRO = 400000  # testdata embeddings are random: max pair cosine ~0.51
-
-_EMB_COS_SQL = (
-    "CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS DOUBLE)"
-    " / sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))"
-    " * list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])) AS DOUBLE))"
-)
+EMB_DEDUP_MICRO = 360000  # testdata embeddings are random (max pair cosine
+# ~0.51); 0.36 yields a non-trivial in-bucket pair set (46 pairs at sf0.01)
 
 
 def _emb_pairs_sql() -> str:
-    """DuckDB SQL for the embedding-cosine near-dup pair relation."""
-    return f"""
-        WITH qz AS (SELECT vec_id AS id, list_transform(embedding,
-                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
-                    FROM embeddings),
-        pairs AS (
-            SELECT a.id AS id_a, b.id AS id_b,
-                   {ts.micro_sql(_EMB_COS_SQL)} AS cosine_micro
-            FROM qz a JOIN qz b ON a.id < b.id
-        )
-        SELECT * FROM pairs WHERE cosine_micro >= {EMB_DEDUP_MICRO}
-    """
+    """DuckDB SQL for the embedding-cosine near-dup pair relation (the
+    IVF-bucketed relation — see q_dedup_embedding_cosine)."""
+    return sim.bucketed_pairs_sql("embeddings", EMB_DEDUP_MICRO)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,11 +391,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production threshold would be ~0.95; the synthetic embeddings are
     random so the gate uses a value that yields a non-trivial pair set.
 
-    Implementation: numpy-blocked exact-int matmul (sim.all_pairs_cosine_micro)
-    — a Column-expression cross join gets the cosine filter pushed into the
-    BroadcastNestedLoopJoin condition, evaluating the interpreted HOF dot
-    product for every n x n candidate twice."""
-    return sim.all_pairs_cosine_micro(_embeddings(spark, sf_dir), EMB_DEDUP_MICRO)
+    Implementation: the IVF-bucketed scale path (sim.bucketed_cosine_pairs)
+    — candidates are pairs sharing a coarse-centroid bucket, scored with an
+    exact-int numpy block-matmul per bucket via applyInPandas. No driver
+    collect, no corpus broadcast, sub-quadratic candidates; the oracle
+    reproduces the bucket assignment exactly. (sim.all_pairs_cosine_micro
+    is the exact-all-pairs verifier — distributed block-pair shuffle.)"""
+    return sim.bucketed_cosine_pairs(_embeddings(spark, sf_dir), EMB_DEDUP_MICRO)
 
 
 def q_tokens_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

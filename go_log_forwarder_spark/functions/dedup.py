@@ -266,6 +266,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edge set); convergence is checked with a cheap count of changed labels.
     At 10^12-row scale the edge relation comes from LSH (sparse); iteration
     count is bounded by the cluster diameter (small for dup clusters).
+    Raises if ``max_iters`` is hit with labels still changing — silently
+    returning unconverged labels would diverge from the exact
+    recursive-closure oracle on long duplicate chains.
     Returns (id, cluster_id) with cluster_id = min id in the component.
     """
     edges = pairs.select(
@@ -307,8 +310,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge within {max_iters} iterations "
+        f"({changed} labels still changing); raise max_iters — the cap is a "
+        "safety valve, not a truncation point"
+    )
 
 
 def dup_clusters_sql(edges_sql: str) -> str:

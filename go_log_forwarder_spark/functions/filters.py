@@ -93,6 +93,14 @@ class GrepFilter:
     name: str = "grep"
 
     def __post_init__(self) -> None:
+        # Intentional config-validation divergence: the reference's Init
+        # REJECTS op="or" (grep.go's `g.op != "and" && g.op == "or"` check is
+        # a bug that only ever fires for "or") and ACCEPTS any other unknown
+        # op, which then behaves as never-drop in Process. We accept "or"
+        # (replicating its never-drop Process behavior below) and reject
+        # unknown ops loudly — silently-never-dropping on a typo'd op is the
+        # worse failure mode. Process-level semantics are code-parity; only
+        # Init-time acceptance differs.
         if self.op not in ("and", "or", "any"):
             raise ValueError(f"unsupported logic operator {self.op!r} in grep filter")
         if not self.include and not self.exclude:

@@ -88,6 +88,13 @@ class JsonParser:
         # map[string]any failing on arrays/scalars.
         return F.from_json(raw, PARSED_TYPE)
 
+    def matched_col(self, raw: Column, parsed: Column) -> Column:
+        # Go json.Unmarshal("null", &map) SUCCEEDS with a nil map
+        # (json.go:44-49), so a bare 'null' line (mod JSON whitespace:
+        # space/\t/\n/\r) is a json MATCH with NULL parsed data — it must
+        # not fall through to later parsers in a chain.
+        return parsed.isNotNull() | raw.rlike("^[ \\t\\r\\n]*null[ \\t\\r\\n]*$")
+
     def canonical_col(self, raw: Column, parsed: Column) -> Column:
         # Go json.Marshal(json.Unmarshal(raw)): variant round-trip gives
         # sorted keys + preserved types (see functions/filters.py docstring).
@@ -201,8 +208,13 @@ class ParserChain:
                 if tcol is not None
                 else F.col(ingest_time_col)
             )
+            matched = (
+                p.matched_col(raw, parsed)
+                if hasattr(p, "matched_col")
+                else parsed.isNotNull()
+            )
             candidate = F.when(
-                parsed.isNotNull(),
+                matched,
                 F.struct(
                     parsed.alias("parsed"),
                     F.lit(p.name).alias("parser"),

@@ -23,6 +23,8 @@ from .textstats import micro_sql
 
 QUANT = 10000
 SIGN_BITS = 8
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 4  # buckets probed per query
 
 
 def quantize(v: Column) -> Column:
@@ -167,21 +169,42 @@ def lsh_topk_sql(
     """
 
 
+def _pairs_frame(ids_a, ids_b, micro):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "id_a": np.asarray(ids_a, dtype=np.int64),
+            "id_b": np.asarray(ids_b, dtype=np.int64),
+            "cosine_micro": np.asarray(micro, dtype=np.int64),
+        }
+    )
+
+
 def all_pairs_cosine_micro(
     emb: DataFrame,
     threshold_micro: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 16,
 ) -> DataFrame:
-    """All-pairs cosine near-dup pairs via numpy-blocked EXACT-INT matmul.
+    """EXACT all-pairs cosine near-dup pairs — fully distributed, zero
+    driver-side collect.
+
+    Block-pair decomposition: each row lands in block ``id % B``; every row
+    is shipped to the B block-pairs containing its block (one shuffle of
+    n*B vector rows), and each (i, j) group computes an exact-int64 numpy
+    block-matmul over its two sides. Every unordered pair of rows appears
+    in exactly one group, so the union over groups IS the all-pairs
+    relation. O(n^2) compute is inherent to an exact all-pairs answer —
+    this spreads it over B*(B+1)/2 independent tasks with ~2n/B rows each
+    (size ``num_blocks`` so a group's matrix fits an executor; the
+    sub-quadratic scale path is :func:`bucketed_cosine_pairs`).
 
     Why not Columns: Catalyst pushes the cosine filter into the
     BroadcastNestedLoopJoin condition, so the (interpreted, non-codegen)
     higher-order dot product evaluates for every n x n candidate — twice.
-    Here each partition computes an int64 block-matmul (C speed) against a
-    broadcast quantized corpus: the standard brute-force-ANN block design.
-    At 10^12 scale the corpus side comes from LSH/IVF buckets, not a full
-    broadcast (see lsh_topk); the kernel is the same.
 
     Exactness: quantized int64 dot products are exact; int64->float64 and
     the final division/sqrt are IEEE-identical to the DuckDB oracle.
@@ -189,49 +212,108 @@ def all_pairs_cosine_micro(
     """
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.floor(
-        np.asarray([r[1] for r in rows], dtype=np.float64) * QUANT + 0.5
-    ).astype(np.int64)
-    norms = (M * M).sum(axis=1)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+    B = num_blocks
+    qz = emb.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("blk", (F.col("id") % B).cast("int"))
+    expanded = qz.withColumn(
+        "other", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    ).withColumn(
+        "bp", F.least("blk", "other") * B + F.greatest("blk", "other")
+    )
 
-    def kernel(batches):
-        import pandas as pd
-
-        ids_all, M_all, norms_all = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.floor(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                * QUANT + 0.5
-            ).astype(np.int64)
-            a_norms = (A * A).sum(axis=1)
-            dots = A @ M_all.T  # exact int64
+    def kernel(key, pdf):
+        i, j = divmod(int(key[0]), B)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        blks = pdf["blk"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["v"]])
+        norms = (M * M).sum(axis=1)
+        if i == j:
+            dots = M @ M.T  # exact int64
             cos = dots.astype(np.float64) / np.sqrt(
-                (a_norms[:, None] * norms_all[None, :]).astype(np.float64)
+                (norms[:, None] * norms[None, :]).astype(np.float64)
             )
             micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
-            keep = (micro >= threshold_micro) & (a_ids[:, None] < ids_all[None, :])
+            keep = (micro >= threshold_micro) & (ids[:, None] < ids[None, :])
             ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": ids_all[bi],
-                    "cosine_micro": micro[ai, bi],
-                }
-            )
+            return _pairs_frame(ids[ai], ids[bi], micro[ai, bi])
+        mi, mj = blks == i, blks == j
+        A, a_ids, a_n = M[mi], ids[mi], norms[mi]
+        C, c_ids, c_n = M[mj], ids[mj], norms[mj]
+        if len(a_ids) == 0 or len(c_ids) == 0:
+            return _pairs_frame([], [], [])
+        dots = A @ C.T
+        cos = dots.astype(np.float64) / np.sqrt(
+            (a_n[:, None] * c_n[None, :]).astype(np.float64)
+        )
+        micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
+        ai, ci = np.nonzero(micro >= threshold_micro)
+        # cosine is symmetric: relabel so id_a < id_b (exact)
+        return _pairs_frame(
+            np.minimum(a_ids[ai], c_ids[ci]),
+            np.maximum(a_ids[ai], c_ids[ci]),
+            micro[ai, ci],
+        )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return expanded.groupBy("bp").applyInPandas(
         kernel, "id_a long, id_b long, cosine_micro long"
     )
 
 
-# --- IVF (inverted-file) variant --------------------------------------------
+def bucketed_cosine_pairs(
+    emb: DataFrame,
+    threshold_micro: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+) -> DataFrame:
+    """IVF-bucketed cosine near-dup pairs — the sub-quadratic scale path.
 
-IVF_K = 16  # coarse centroids
-IVF_NPROBE = 4  # buckets probed per query
+    Candidate generation reuses :func:`ivf_assign` (nearest-of-k coarse
+    centroids, exact-int L2); the pair relation is DEFINED as pairs sharing
+    a centroid bucket, scored with the same exact-int cosine kernel, one
+    numpy block-matmul per bucket via ``applyInPandas`` (grouped-map Arrow
+    batches — no driver collect, no corpus broadcast). At 10^12 rows the
+    centroid count scales ~sqrt(n) so per-bucket all-pairs stays bounded;
+    recall tuning = more centroids / multi-probe assignment, exactly as in
+    a production IVF dedup index. The DuckDB oracle reproduces the bucket
+    assignment and the kernel bit-for-bit (:func:`bucketed_pairs_sql`).
+    Emits (id_a, id_b, cosine_micro) with id_a < id_b, micro >= threshold.
+    """
+    import numpy as np
+
+    assigned = ivf_assign(emb, id_col, vec_col, k)
+
+    def kernel(pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["v"].iloc[order]])
+        norms = (M * M).sum(axis=1)
+        frames = []
+        blk = 1024  # row-blocked: peak memory = blk x bucket, not bucket^2
+        for s in range(0, len(ids), blk):
+            A, a_ids, a_n = M[s : s + blk], ids[s : s + blk], norms[s : s + blk]
+            dots = A @ M.T  # exact int64
+            cos = dots.astype(np.float64) / np.sqrt(
+                (a_n[:, None] * norms[None, :]).astype(np.float64)
+            )
+            micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
+            keep = (micro >= threshold_micro) & (a_ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(keep)
+            frames.append(_pairs_frame(a_ids[ai], ids[bi], micro[ai, bi]))
+        import pandas as pd
+
+        return pd.concat(frames) if frames else _pairs_frame([], [], [])
+
+    return (
+        assigned.select("id", "v", "centroid")
+        .groupBy("centroid")
+        .applyInPandas(kernel, "id_a long, id_b long, cosine_micro long")
+    )
+
+
+# --- IVF (inverted-file) variant --------------------------------------------
 
 
 def ivf_assign(
@@ -319,33 +401,71 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk_sql(
-    table: str, query_pred: str, k: int = 10, nprobe: int = IVF_NPROBE,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> str:
-    dist = "qz.norm2 + c.cn - 2 * list_sum(list_transform(generate_series(1, len(qz.v)), i -> qz.v[i] * c.cv[i]))"
-    return f"""
-        WITH qz AS (
+_IVF_DIST_SQL = (
+    "qz.norm2 + c.cn - 2 * list_sum(list_transform("
+    "generate_series(1, len(qz.v)), i -> qz.v[i] * c.cv[i]))"
+)
+
+
+def ivf_assign_cte_sql(table: str, id_col: str, vec_col: str, k: int) -> str:
+    """Shared DuckDB CTE fragment: quantized rows + seed centroids + the
+    nearest-centroid assignment (the oracle twin of :func:`ivf_assign`)."""
+    return f"""qz AS (
             SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v,
                    {_dot_sql(_quant_sql(vec_col), _quant_sql(vec_col))} AS norm2
             FROM {table}
         ),
         cents AS (
-            SELECT CAST(id AS INT) AS cidx, v AS cv, norm2 AS cn FROM qz WHERE id < {IVF_K}
+            SELECT CAST(id AS INT) AS cidx, v AS cv, norm2 AS cn FROM qz WHERE id < {k}
         ),
         assigned AS (
             SELECT id, v, norm2, cidx AS centroid FROM (
                 SELECT qz.id, qz.v, qz.norm2, c.cidx,
-                       row_number() OVER (PARTITION BY qz.id ORDER BY {dist}, c.cidx) AS rn
+                       row_number() OVER (PARTITION BY qz.id ORDER BY {_IVF_DIST_SQL}, c.cidx) AS rn
                 FROM qz CROSS JOIN cents c
             ) WHERE rn = 1
-        ),
+        )"""
+
+
+def bucketed_pairs_sql(
+    table: str, threshold_micro: int, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = IVF_K,
+) -> str:
+    """Oracle twin of :func:`bucketed_cosine_pairs`: same bucket assignment,
+    same exact-int cosine, pairs restricted to a shared centroid."""
+    cos = (
+        f"CAST({_dot_sql('a.v', 'b.v')} AS DOUBLE)"
+        " / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))"
+    )
+    return f"""
+        WITH {ivf_assign_cte_sql(table, id_col, vec_col, k)},
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, {micro_sql(cos)} AS cosine_micro
+            FROM assigned a JOIN assigned b
+              ON a.centroid = b.centroid AND a.id < b.id
+        )
+        SELECT id_a, id_b, cosine_micro FROM pairs
+        WHERE cosine_micro >= {threshold_micro}
+    """
+
+
+def ivf_topk_sql(
+    table: str, query_pred: str, k: int = 10, nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    dist = _IVF_DIST_SQL
+    return f"""
+        WITH {ivf_assign_cte_sql(table, id_col, vec_col, IVF_K)},
         probes AS (
             SELECT id AS query_id, v AS qv, norm2 AS qn, cidx AS centroid FROM (
                 SELECT qz.id, qz.v, qz.norm2, c.cidx,
                        row_number() OVER (PARTITION BY qz.id ORDER BY {dist}, c.cidx) AS rn
                 FROM qz CROSS JOIN cents c
-                WHERE qz.id IN (SELECT {id_col} FROM {table} WHERE {query_pred.replace('id', id_col)})
+                -- query_pred is written against the aliased 'id' column of
+                -- qz, exactly like brute_force_topk_sql (a substring
+                -- rewrite of the predicate would corrupt identifiers that
+                -- merely contain 'id')
+                WHERE qz.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
             ) WHERE rn <= {nprobe}
         ),
         scored AS (

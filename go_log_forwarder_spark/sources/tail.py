@@ -22,8 +22,20 @@ Spark realization:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Go strings.TrimSpace trims everything unicode.IsSpace accepts — notably
+# \r (CRLF files), \t, \v, \f, NEL (U+0085) and NBSP (U+00A0) — while
+# Spark's F.trim strips ASCII space only. Java regex \s is [ \t\n\x0B\f\r];
+# the class below adds the two unicode members Go also trims.
+_SPACE_CLASS = "[\\s\\u0085\\u00A0]"
+
+
+def trim_space(col: Column) -> Column:
+    """strings.TrimSpace parity (tail.go:448): trim ALL leading/trailing
+    whitespace, not just ASCII spaces."""
+    return F.regexp_replace(col, f"^{_SPACE_CLASS}+|{_SPACE_CLASS}+$", "")
 
 
 def tail_batch(
@@ -43,7 +55,7 @@ def tail_batch(
     )
     return (
         lines.select(
-            F.trim(F.col("line")).alias("raw"),
+            trim_space(F.col("line")).alias("raw"),
             "source",
             (F.col("idx") + 1).cast("long").alias("line_num"),
         )
@@ -67,7 +79,7 @@ def tail_stream(
     streaming checkpoint replaces them as the resume token)."""
     return (
         spark.readStream.text(directory)
-        .select(F.trim(F.col("value")).alias("raw"))
+        .select(trim_space(F.col("value")).alias("raw"))
         .filter(F.length("raw") > 0)
         .withColumn("source", F.lit(directory))
         .withColumn("tag", F.lit(tag))

@@ -190,3 +190,18 @@ def test_chain_vs_oracle(spark):
                 for k, v in ev.parsed.items()
             }
             assert got[raw]["parsed"] == want, raw
+
+
+def test_json_null_line_is_a_match(spark):
+    # json.go:44-49: json.Unmarshal("null", &map) SUCCEEDS with a nil map,
+    # so a bare 'null' line is a json MATCH (NULL parsed data, canonical
+    # 'null') and must NOT fall through to later parsers in a chain.
+    chain = [JsonParser(), RegexParser(pattern=r"^(?P<word>[a-z]+)$")]
+    rows = _run_chain(spark, ["null", " null ", "nullish"], chain)
+    for raw in ("null", " null "):
+        assert rows[raw]["parser"] == "json", raw
+        assert rows[raw]["parsed"] is None, raw
+        assert rows[raw]["canonical"] == "null", raw
+    # 'nullish' is NOT valid JSON -> falls through to the regex parser
+    assert rows["nullish"]["parser"] == "regex"
+    assert rows["nullish"]["parsed"] == {"word": "nullish"}

@@ -281,3 +281,14 @@ Outputs:
     assert all(p["index"] == "idx" for p in payloads)
     assert all(e["env"] == "prod" for e in parsed_events)
     assert len(parsed_events) == 2  # the unparsed line sends event null
+
+
+def test_tail_batch_trims_all_whitespace(spark, tmp_path):
+    # tail.go:448 strings.TrimSpace: CRLF files must not keep a trailing \r
+    # in raw, and whitespace-only (tab/CR) lines are counted but skipped.
+    p = tmp_path / "crlf"
+    p.mkdir()
+    (p / "w.log").write_text("one\r\n\t\r\n\tthree\t\r\nfour\r")
+    df = tail_batch(spark, str(p / "*.log"))
+    rows = {r["line_num"]: r["raw"] for r in df.collect()}
+    assert rows == {1: "one", 3: "three", 4: "four"}  # line 2 tab-only: skipped

@@ -227,3 +227,46 @@ def test_kmeans_int_golden(spark):
                     math.floor(sum(col) / n) for col in zip(*groups[c])
                 ]
     assert got == cents
+
+
+def test_dup_clusters_raises_on_iteration_cap(spark):
+    # a 5-node chain has diameter 4 -> min-label propagation cannot converge
+    # in 1 iteration; silently returning partial labels would diverge from
+    # the recursive-closure oracle.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dup_clusters(pairs, max_iters=1)
+    labels = {r["id"]: r["cluster_id"] for r in dd.dup_clusters(pairs).collect()}
+    assert labels == {i: 0 for i in range(6)}
+
+
+def test_ivf_topk_sql_predicate_not_rewritten():
+    # the predicate is embedded verbatim (against the aliased 'id' column);
+    # a substring rewrite would corrupt identifiers containing 'id'
+    pred = "id < 5 AND id % 2 = 0"
+    sql = sim.ivf_topk_sql("embeddings", pred)
+    assert pred in sql
+    assert "vec_id < 5" not in sql
+
+
+def test_bucketed_pairs_equal_all_pairs_restricted_to_shared_bucket(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 300000
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.bucketed_cosine_pairs(emb, thr, k=4).collect()
+    }
+    cent = {r["id"]: r["centroid"] for r in sim.ivf_assign(emb, k=4).collect()}
+    allp = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.all_pairs_cosine_micro(emb, thr, num_blocks=5).collect()
+    }
+    expected = {(a, b, m) for (a, b, m) in allp if cent[a] == cent[b]}
+    assert bucketed == expected
+    assert len(bucketed) > 0
