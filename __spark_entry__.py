@@ -521,6 +521,35 @@ def q_http_lines_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TCP_CHUNK_SIZE = 40  # small buffer so sf0.01 bodies exercise multi-chunk reads
+
+
+def q_tcp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 tcp input: reassemble per-connection byte streams (deterministic
+    order), emit ONE event per 40-char read chunk — tcp.go's chunk-per-Read
+    semantics (no line splitting, no trimming, 1-based chunk counter)."""
+    from go_log_forwarder_spark.sources.tcp import tcp_chunks
+
+    ev = _events(spark, sf_dir)
+    line = F.concat(F.col("event_type"), F.lit(" "), F.col("event_id").cast("string"))
+    bodies = (
+        ev.select(
+            F.concat(F.lit("10.0.0."), (F.col("user_id") % 20).cast("string")).alias("remote_addr"),
+            F.struct(F.col("event_id"), line.alias("line")).alias("s"),
+        )
+        .groupBy("remote_addr")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x.getField("line")),
+                "\n",
+            ).alias("body")
+        )
+    )
+    return tcp_chunks(bodies, buffer_size=TCP_CHUNK_SIZE).select(
+        "source", "line_num", "raw"
+    )
+
+
 def q_windowed_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window per-sink counts (streaming §2.9 extension,
     batch-mode twin): 1-hour windows over ingest time."""
@@ -563,10 +592,36 @@ def q_grok_parse_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (decode stubbed — no codec libs in container):
-    binary media column -> mapInPandas feature extraction. Rows-only check."""
+    binary media column -> mapInPandas feature extraction. The byte-level
+    features (n_bytes, checksum) and the deterministic stub-decode outputs
+    ARE reproducible in SQL from the same synthetic payload, so this is a
+    full hash-gated query even with decode stubbed."""
     n = _events(spark, sf_dir).count()
     media = mm.synth_media(spark, min(n, 2000))
     return mm.extract_features(media)
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB twin of synth_media + extract_features: payload =
+    'media-payload-' || sha256(id) (pure ASCII, 78 bytes, so the kernel's
+    strided checksum `sum(buf[::max(1, len//64)])` has stride 1 = the full
+    char-code sum), stub decode reproduced per kind."""
+    return """
+        WITH media AS (
+            SELECT i AS media_id,
+                   ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+                   'media-payload-' || sha256(CAST(i AS VARCHAR)) AS payload
+            FROM (SELECT unnest(generate_series(0,
+                    CAST(LEAST((SELECT COUNT(*) FROM events), 2000) AS BIGINT) - 1)) AS i)
+        )
+        SELECT media_id, kind,
+               CAST(length(payload) AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_transform(string_split(payload, ''), x -> ascii(x))) AS BIGINT) AS checksum,
+               CAST(CASE WHEN kind = 'image' THEN 1 + ascii(substr(payload, 1, 1)) % 64 ELSE 0 END AS INT) AS width,
+               CAST(CASE WHEN kind = 'image' THEN 1 + ascii(substr(payload, length(payload), 1)) % 64 ELSE 0 END AS INT) AS height,
+               CAST(CASE WHEN kind = 'image' THEN 0 ELSE length(payload) * 10 END AS INT) AS duration_ms
+        FROM media
+    """
 
 
 def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +709,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a TRAINED coarse quantizer: 2 integer Lloyd
+    iterations (sim.kmeans_int — deterministic, engine-portable), then the
+    same nprobe bucket search; the oracle unrolls both Lloyd steps in SQL."""
+    emb = _embeddings(spark, sf_dir)
+    cents = sim.kmeans_int(emb, k=sim.IVF_K, iters=2)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents)
+
+
 def _minhash_lsh_oracle_sql() -> str:
     cands = dd.lsh_candidates_sql("documents")
     ws = "regexp_split_to_array(trim(text), '\\s+')"
@@ -715,10 +779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "dedup_clusters": q_dedup_clusters,
         "tokens_quality_filter": q_tokens_quality_filter,
         "sessionize": q_sessionize,
         "http_lines_split": q_http_lines_split,
+        "tcp_chunks": q_tcp_chunks,
         "windowed_route_counts": q_windowed_route_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "tokens_dedup_exact": q_tokens_dedup_exact,
@@ -858,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_ivf_topk": sim.ivf_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "ann_ivf_trained_topk": sim.ivf_trained_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "tokens_quality_filter": _TOKENS_CTE
         + f"""
             , scored AS (
@@ -905,6 +972,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM lines WHERE length(raw) > 0
             )
             SELECT source, line_num, raw FROM nonempty
+        """,
+        "tcp_chunks": f"""
+            WITH lines AS (
+                SELECT '10.0.0.' || CAST(user_id % 20 AS VARCHAR) AS source,
+                       event_type || ' ' || event_id AS line,
+                       event_id
+                FROM events
+            ),
+            bodies AS (
+                SELECT source, string_agg(line, chr(10) ORDER BY event_id) AS body
+                FROM lines GROUP BY source
+            ),
+            sized AS (
+                SELECT source, body,
+                       CAST(ceil(length(body) / {TCP_CHUNK_SIZE}.0) AS BIGINT) AS n
+                FROM bodies WHERE length(body) > 0
+            )
+            SELECT source,
+                   unnest(generate_series(1, n)) AS line_num,
+                   unnest(list_transform(generate_series(1, n),
+                          i -> substr(body, CAST((i-1)*{TCP_CHUNK_SIZE}+1 AS INT), {TCP_CHUNK_SIZE}))) AS raw
+            FROM sized
         """,
         "windowed_route_counts": _BASE_CTE.replace(
             "FROM events",
@@ -955,9 +1044,10 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN level IS NOT NULL THEN id END) AS sum_id
             FROM parsed GROUP BY level
         """,
-        # multimodal_features / stream_route_counts / resume_lineage_metrics:
-        # intentionally no oracle (stubbed decode / streaming / stateful
-        # resume are not SQL-expressible) -> driver records rows-only checks.
+        "multimodal_features": _multimodal_oracle_sql(),
+        # stream_route_counts / resume_lineage_metrics: intentionally no
+        # oracle (streaming / stateful resume are not SQL-expressible) ->
+        # driver records rows-only checks.
     }
 
 

@@ -316,29 +316,45 @@ def bucketed_cosine_pairs(
 # --- IVF (inverted-file) variant --------------------------------------------
 
 
+def _with_cn(centroids: DataFrame) -> DataFrame:
+    """(cidx, cv) -> (cidx, cv, cn) with cn = exact-int |cv|^2."""
+    return centroids.select(
+        F.col("cidx").cast("int").alias("cidx"),
+        "cv",
+        int_dot(F.col("cv"), F.col("cv")).alias("cn"),
+    )
+
+
 def ivf_assign(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = IVF_K
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse assignment: nearest of K deterministic seed centroids
-    (the first K vectors by id) under exact-int squared L2
+    """IVF coarse assignment: nearest centroid under exact-int squared L2
     ``d = |a|^2 + |c|^2 - 2<a,c>``. Ties break by centroid index.
 
-    The centroid side is tiny and broadcast; assignment is one narrow pass
-    — the partitioning structure of an IVF index at any scale. (A trained
-    k-means quantizer slots into the same shape; seeds keep the whole
-    index reproducible in the DuckDB oracle.)
-    Returns (id, v quantized, norm2, centroid int, dist bigint)."""
+    ``centroids`` (cidx int, cv array<bigint>) plugs in a TRAINED quantizer
+    (:func:`kmeans_int`); default = the K deterministic seed centroids
+    (first K vectors by id), which keep the index reproducible in the
+    DuckDB oracle. The centroid side is tiny and broadcast; assignment is
+    one narrow pass — the partitioning structure of an IVF index at any
+    scale. Returns (id, v quantized, norm2, centroid int, dist bigint)."""
     qz = emb.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
     ).withColumn("norm2", int_dot(F.col("v"), F.col("v")))
-    cents = (
-        qz.filter(F.col("id") < k)
-        .select(
-            F.col("id").cast("int").alias("cidx"),
-            F.col("v").alias("cv"),
-            F.col("norm2").alias("cn"),
+    if centroids is not None:
+        cents = _with_cn(centroids)
+    else:
+        cents = (
+            qz.filter(F.col("id") < k)
+            .select(
+                F.col("id").cast("int").alias("cidx"),
+                F.col("v").alias("cv"),
+                F.col("norm2").alias("cn"),
+            )
         )
-    )
     joined = qz.join(F.broadcast(cents)).withColumn(
         "dist", F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("v"), F.col("cv"))
     )
@@ -357,22 +373,27 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the nprobe nearest centroid buckets per query,
-    brute-force cosine inside them (query side broadcast)."""
-    assigned = ivf_assign(emb, id_col, vec_col)
+    brute-force cosine inside them (query side broadcast). ``centroids``
+    plugs in a trained quantizer (see :func:`ivf_assign`)."""
+    assigned = ivf_assign(emb, id_col, vec_col, centroids=centroids)
     # per query: the nprobe nearest centroids (distances to all centroids
     # computed for the query rows only)
     qz = emb.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     ).join(queries.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
     qz = qz.withColumn("qn", int_dot(F.col("qv"), F.col("qv")))
-    cents = (
-        emb.select(F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("cv"))
-        .filter(F.col("cid") < IVF_K)
-        .withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
-        .select(F.col("cid").cast("int").alias("cidx"), "cv", "cn")
-    )
+    if centroids is not None:
+        cents = _with_cn(centroids)
+    else:
+        cents = (
+            emb.select(F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("cv"))
+            .filter(F.col("cid") < IVF_K)
+            .withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
+            .select(F.col("cid").cast("int").alias("cidx"), "cv", "cn")
+        )
     qc = qz.join(F.broadcast(cents)).withColumn(
         "dist", F.col("qn") + F.col("cn") - 2 * int_dot(F.col("qv"), F.col("cv"))
     )
@@ -471,6 +492,105 @@ def ivf_topk_sql(
         scored AS (
             SELECT p.query_id, a.id AS neighbor_id,
                    {micro_sql("CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn * a.norm2 AS DOUBLE))")} AS cosine_micro
+            FROM probes p JOIN assigned a USING (centroid)
+            WHERE a.id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_micro,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
+def kmeans_cte_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = IVF_K, iters: int = 2,
+) -> str:
+    """DuckDB CTE chain unrolling ``iters`` integer Lloyd steps — the oracle
+    twin of :func:`kmeans_int`. Ends with ``cents{iters}`` (cidx, cv, cn):
+    init = first k vectors by id; assignment = exact-int squared L2 (ties to
+    the lower centroid index); update = per-dimension floor(int_sum/count)
+    (exact in doubles, both operands far below 2^53); empty clusters keep
+    their previous centroid."""
+    dot_qc = (
+        "list_sum(list_transform(generate_series(1, len(qz.v)),"
+        " i -> qz.v[i] * c.cv[i]))"
+    )
+    parts = [
+        f"""qz AS (
+            SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v,
+                   {_dot_sql(_quant_sql(vec_col), _quant_sql(vec_col))} AS norm2
+            FROM {table}
+        ),
+        cents0 AS (
+            SELECT CAST(id AS INT) AS cidx, v AS cv, norm2 AS cn FROM qz WHERE id < {k}
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"cents{t - 1}"
+        parts.append(
+            f"""assign{t} AS (
+            SELECT id, v, centroid FROM (
+                SELECT qz.id, qz.v, c.cidx AS centroid,
+                       row_number() OVER (PARTITION BY qz.id
+                           ORDER BY qz.norm2 + c.cn - 2 * {dot_qc}, c.cidx) AS rn
+                FROM qz CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        dims{t} AS (
+            -- the two unnests zip positionally (equal lengths)
+            SELECT centroid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x
+            FROM assign{t}
+        ),
+        newc{t} AS (
+            SELECT centroid AS cidx, list(cval ORDER BY pos) AS cv FROM (
+                SELECT centroid, pos,
+                       CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+                FROM dims{t} GROUP BY centroid, pos
+            ) GROUP BY centroid
+        ),
+        cents{t} AS (
+            SELECT p.cidx, COALESCE(n.cv, p.cv) AS cv,
+                   {_dot_sql('COALESCE(n.cv, p.cv)', 'COALESCE(n.cv, p.cv)')} AS cn
+            FROM {prev} p LEFT JOIN newc{t} n USING (cidx)
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def ivf_trained_topk_sql(
+    table: str, query_pred: str, k: int = 10, nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    kc: int = IVF_K, iters: int = 2,
+) -> str:
+    """IVF search against the TRAINED quantizer: :func:`kmeans_cte_sql`'s
+    final centroids feed the same assignment/probe/score pipeline as
+    :func:`ivf_topk_sql`."""
+    dist = _IVF_DIST_SQL
+    cents = f"cents{iters}"
+    cos = (
+        "CAST(list_sum(list_transform(generate_series(1, len(p.qv)),"
+        " i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn * a.norm2 AS DOUBLE))"
+    )
+    return f"""
+        WITH {kmeans_cte_sql(table, id_col, vec_col, kc, iters)},
+        assigned AS (
+            SELECT id, v, norm2, cidx AS centroid FROM (
+                SELECT qz.id, qz.v, qz.norm2, c.cidx,
+                       row_number() OVER (PARTITION BY qz.id ORDER BY {dist}, c.cidx) AS rn
+                FROM qz CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT id AS query_id, v AS qv, norm2 AS qn, cidx AS centroid FROM (
+                SELECT qz.id, qz.v, qz.norm2, c.cidx,
+                       row_number() OVER (PARTITION BY qz.id ORDER BY {dist}, c.cidx) AS rn
+                FROM qz CROSS JOIN {cents} c
+                WHERE qz.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, a.id AS neighbor_id,
+                   {micro_sql(cos)} AS cosine_micro
             FROM probes p JOIN assigned a USING (centroid)
             WHERE a.id <> p.query_id
         )

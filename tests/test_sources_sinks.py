@@ -292,3 +292,24 @@ def test_tail_batch_trims_all_whitespace(spark, tmp_path):
     df = tail_batch(spark, str(p / "*.log"))
     rows = {r["line_num"]: r["raw"] for r in df.collect()}
     assert rows == {1: "one", 3: "three", 4: "four"}  # line 2 tab-only: skipped
+
+
+def test_tcp_chunks_per_read_semantics(spark):
+    # tcp.go:163-208: one event per Read() chunk — NO line splitting, no
+    # trimming, 1-based chunk counter, empty stream emits nothing.
+    from go_log_forwarder_spark.sources.tcp import tcp_chunks
+
+    bodies = spark.createDataFrame(
+        [("a\nbc d", "c1"), ("0123456789", "c2"), ("", "c3")],
+        "body string, remote_addr string",
+    )
+    out = tcp_chunks(bodies, buffer_size=4, tag="tcp-log")
+    rows = {(r["source"], r["line_num"]): r["raw"] for r in out.collect()}
+    assert rows == {
+        ("c1", 1): "a\nbc",  # newline STAYS inside the chunk
+        ("c1", 2): " d",     # no trimming
+        ("c2", 1): "0123",
+        ("c2", 2): "4567",
+        ("c2", 3): "89",
+    }
+    assert all(r["tag"] == "tcp-log" for r in out.collect())
