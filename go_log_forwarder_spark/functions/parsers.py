@@ -32,9 +32,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Go reference-time layouts -> Spark (java.time) datetime patterns.
-# Small and loud-on-unknown by design (SURVEY §7.3 item 5): silently
-# mis-parsing timestamps is worse than rejecting a config.
+# Explicit Go-layout -> Spark-pattern overrides. These take precedence over
+# the token compiler below (they pin behavior the round-1 suite verified);
+# everything else goes through :func:`go_layout_to_spark`'s token-by-token
+# translation of the Go reference time (parser.go:14-22 accepts ANY layout).
 GO_TO_SPARK_TIME_LAYOUTS: dict[str, str] = {
     "2006-01-02T15:04:05Z07:00": "yyyy-MM-dd'T'HH:mm:ssXXX",  # RFC3339 (default)
     "2006-01-02T15:04:05.999999999Z07:00": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX",
@@ -49,27 +50,156 @@ GO_RFC3339 = "2006-01-02T15:04:05Z07:00"
 
 PARSED_TYPE = T.MapType(T.StringType(), T.StringType())
 
+# Go reference-time tokens -> java.time pattern letters, longest-first.
+# None = recognized Go token with no faithful java.time equivalent ->
+# ValueError (loud-on-unknown, SURVEY §7.3 item 5: silently mis-parsing
+# timestamps is worse than rejecting a config).
+_GO_TIME_TOKENS: list[tuple[str, str | None]] = sorted(
+    [
+        ("2006", "yyyy"),
+        ("06", "yy"),
+        ("January", "MMMM"),
+        ("Jan", "MMM"),
+        ("01", "MM"),
+        ("1", "M"),
+        ("Monday", "EEEE"),
+        ("Mon", "EEE"),
+        ("02", "dd"),
+        ("_2", "d"),  # space-padded day: java.time has no pad modifier here
+        ("2", "d"),
+        ("002", "DDD"),
+        ("__2", "D"),
+        ("15", "HH"),
+        ("03", "hh"),
+        ("3", "h"),
+        ("04", "mm"),
+        ("4", "m"),
+        ("05", "ss"),
+        ("5", "s"),
+        ("PM", "a"),
+        ("pm", None),  # java.time 'a' only parses upper-case AM/PM
+        ("MST", "zzz"),
+        ("Z070000", None),
+        ("Z07:00", "XXX"),
+        ("Z0700", "XX"),
+        ("Z07", "X"),
+        ("-070000", None),
+        ("-07:00", "xxx"),
+        ("-0700", "xx"),
+        ("-07", "x"),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+
+_JAVA_QUOTE_NEEDED = re.compile(r"[a-zA-Z'\[\]#{}]")
+
+
+def _quote_literal(run: str) -> str:
+    """Quote a literal run for java.time patterns (letters and the reserved
+    punctuation must be quoted; ' escapes as '')."""
+    if any(c.isdigit() for c in run):
+        # a bare digit in a Go layout is (mis)read by Go itself as part of a
+        # reference-time number — refuse rather than silently mis-parse
+        raise ValueError(f"literal digits in Go time layout run {run!r}")
+    if _JAVA_QUOTE_NEEDED.search(run):
+        return "'" + run.replace("'", "''") + "'"
+    return run
+
 
 def go_layout_to_spark(layout: str) -> str:
     """Translate a Go reference-time layout to a Spark datetime pattern.
 
-    Raises ``ValueError`` on layouts outside the supported table — the
-    reference would silently keep the old timestamp (parser.go:17-19), but a
-    config-time unknown layout is a build error here.
+    Token-by-token compilation of the Go reference time
+    ``Mon Jan 2 15:04:05 MST 2006``: longest-match tokens map to java.time
+    letters, literal runs are quoted, and fractional seconds translate as
+    ``.000...`` -> ``.SSS...`` (exact digits) / ``.999...`` -> ``[.SSS...]``
+    (optional — Go drops the fraction entirely when zero; note java.time
+    still requires the full digit count WHEN present, a documented
+    divergence for Go's trailing-zero trimming). Known Go tokens with no
+    faithful java.time equivalent (lower-case ``pm``, second-precision zone
+    offsets) raise ``ValueError`` — the reference silently keeps the old
+    timestamp on parse failure (parser.go:17-19), but a config-time unknown
+    layout is a build error here.
+
+    Documented divergences: two-digit years 69-99 pivot to 19xx in Go but
+    20xx in java.time; Go's ``_2`` space-pads single-digit days where
+    java.time ``d`` expects no pad; ``.999`` fractions must carry the full
+    digit count when present (Go trims trailing zeros).
     """
     if layout in GO_TO_SPARK_TIME_LAYOUTS:
         return GO_TO_SPARK_TIME_LAYOUTS[layout]
-    raise ValueError(
-        f"unsupported Go time layout {layout!r}; add it to GO_TO_SPARK_TIME_LAYOUTS"
-    )
+    out: list[str] = []
+    lit: list[str] = []
+    n_tokens = 0
+    i = 0
+    while i < len(layout):
+        # fractional seconds: .0000 (fixed) / .9999 (optional)
+        m = re.match(r"[.,](0+|9+)", layout[i:])
+        if m:
+            if lit:
+                out.append(_quote_literal("".join(lit)))
+                lit = []
+            digits = m.group(1)
+            sep = layout[i]
+            frac = "'" + sep + "'" if sep == "," else sep
+            if digits[0] == "0":
+                out.append(frac + "S" * len(digits))
+            else:
+                out.append("[" + frac + "S" * len(digits) + "]")
+            n_tokens += 1
+            i += 1 + len(digits)
+            continue
+        for tok, pat in _GO_TIME_TOKENS:
+            if layout.startswith(tok, i):
+                if pat is None:
+                    raise ValueError(
+                        f"Go time token {tok!r} in layout {layout!r} has no "
+                        "faithful Spark/java.time equivalent"
+                    )
+                if lit:
+                    out.append(_quote_literal("".join(lit)))
+                    lit = []
+                out.append(pat)
+                n_tokens += 1
+                i += len(tok)
+                break
+        else:
+            lit.append(layout[i])
+            i += 1
+    if lit:
+        out.append(_quote_literal("".join(lit)))
+    if n_tokens == 0:
+        # all-literal "layouts" are almost certainly a config mistake —
+        # loud beats a parser that only ever matches one fixed string
+        raise ValueError(f"Go time layout {layout!r} contains no time tokens")
+    return "".join(out)
+
+
+_DAY_NAME_RE = (
+    "(Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday"
+    "|Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+)
+
+
+def go_time_parse(raw: Column, go_layout: str) -> Column:
+    """Parse a string Column with a Go layout; NULL on value-level failure.
+
+    Spark bans week-based fields ('E') in PARSING patterns, and Go's Parse
+    never cross-checks the day name against the date anyway — so for
+    layouts containing Mon/Monday the day name is stripped from the value
+    and the EEE token dropped from the pattern (information-preserving)."""
+    fmt = go_layout_to_spark(go_layout)
+    if "EEE" in fmt:
+        fmt = fmt.replace("EEEE", "").replace("EEE", "")
+        raw = F.regexp_replace(raw, _DAY_NAME_RE, "")
+    return F.try_to_timestamp(raw, F.lit(fmt))
 
 
 def extract_time_col(parsed: Column, time_key: str, go_layout: str) -> Column:
     """``ExtractTime`` (parser.go:14-22) as a Column: parsed[time_key]
     parsed with the layout; NULL (caller coalesces with ingest time) on
     failure — mirroring 'keep old timestamp on parse error'."""
-    fmt = go_layout_to_spark(go_layout)
-    return F.try_to_timestamp(parsed.getItem(time_key), F.lit(fmt))
+    return go_time_parse(parsed.getItem(time_key), go_layout)
 
 
 @dataclass(frozen=True)

@@ -73,16 +73,24 @@ def fan_out_writes(
     """Compute the pipeline once, write each sink's filtered view.
 
     ``write_fn(sink: SinkSpec, sink_df: DataFrame) -> None`` performs the
-    actual write (parquet append, console, metrics table...). Returns
-    per-sink routed-row counts (the counter output, counter.go:46-62).
+    actual write (parquet append, console, metrics table...) and MUST run
+    an action on ``sink_df``. Returns per-sink routed-row counts (the
+    counter output, counter.go:46-62) harvested from ``Observation``
+    metrics folded into the write job itself — ONE action per sink, never
+    a second counting pass over the persisted frame.
     """
+    from pyspark.sql import Observation
+
     df = df.persist(storage_level)
     try:
         counts: dict[str, int] = {}
         for s in sinks:
-            sink_df = df.filter(s.compiled.column(F.col(tag_col)))
+            obs = Observation(f"fanout_{s.name}")
+            sink_df = df.filter(s.compiled.column(F.col(tag_col))).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             write_fn(s, sink_df)
-            counts[s.name] = sink_df.count()
+            counts[s.name] = obs.get["n"]
         return counts
     finally:
         df.unpersist()

@@ -133,7 +133,11 @@ def execute_plan(
         cfg = plan.sink_configs.get(spec.name, {})
         kind = spec.kind
         if kind == "counter":
-            return  # counts are returned by fan_out_writes for every sink
+            # the count IS the sink output; fan_out_writes harvests it from
+            # the Observation, so run a metrics-only noop action (no data
+            # written, but the observed count materializes)
+            sdf.write.format("noop").mode("overwrite").save()
+            return
         if kind == "stdout":
             fmt = (cfg.get("Format") or "json").lower()
             if fmt == "json":
@@ -153,9 +157,12 @@ def execute_plan(
             if cfg.get("Colors"):
                 out = sink_fmt.colorize_col(out)
             lines = sdf.select(out.alias("line"))
+            # full write FIRST: fan_out_writes reads the sink count from the
+            # first action's observed metrics, and a take() short-circuits
+            # partitions (it would record a partial count)
+            lines.write.mode("append").parquet(_os.path.join(out_dir, spec.name))
             for r in lines.take(stdout_limit):
                 print(r["line"])
-            lines.write.mode("append").parquet(_os.path.join(out_dir, spec.name))
             return
         if kind == "splunk":
             payload = sink_fmt.splunk_event_col(

@@ -136,7 +136,6 @@ class ResumablePipeline:
         parsed = parsed.persist()
         kept = kept.persist()
         try:
-            routed_counts: dict[str, int] = {}
             for s in self.sinks:
                 sdf = kept.filter(s.compiled.column(F.col("tag")))
                 (
@@ -144,33 +143,27 @@ class ResumablePipeline:
                     .partitionBy(UNIT_COL)
                     .parquet(self._sink_dir(s))
                 )
-            # per-unit metrics (A2): rows in/parsed/dropped/routed
-            routed = None
+            # per-unit metrics (A2): rows in/parsed/dropped/routed — ONE
+            # aggregation job over the persisted frames (routed counts are
+            # per-sink conditional sums, not a second pass per sink; the
+            # old shape ran 3 collects + one count per sink).
+            in_stats = parsed.groupBy(UNIT_COL).agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(F.when(F.col("parsed").isNotNull(), 1).otherwise(0)).alias(
+                    "rows_parsed"
+                ),
+            )
+            routed_expr = None
             for s in self.sinks:
-                c = (
-                    kept.filter(s.compiled.column(F.col("tag")))
-                    .groupBy(UNIT_COL)
-                    .agg(F.count(F.lit(1)).alias("n"))
-                )
-                routed = c if routed is None else routed.unionByName(c)
-            routed_map = {
-                r[UNIT_COL]: r["rn"]
-                for r in routed.groupBy(UNIT_COL).agg(F.sum("n").alias("rn")).collect()
-            }
+                term = F.sum(s.compiled.column(F.col("tag")).cast("long"))
+                routed_expr = term if routed_expr is None else routed_expr + term
+            kept_stats = kept.groupBy(UNIT_COL).agg(
+                F.count(F.lit(1)).alias("rows_kept"),
+                routed_expr.alias("rows_routed"),
+            )
             stats = {
                 r[UNIT_COL]: r
-                for r in parsed.groupBy(UNIT_COL)
-                .agg(
-                    F.count(F.lit(1)).alias("rows_in"),
-                    F.sum(F.when(F.col("parsed").isNotNull(), 1).otherwise(0)).alias(
-                        "rows_parsed"
-                    ),
-                )
-                .collect()
-            }
-            kept_map = {
-                r[UNIT_COL]: r["k"]
-                for r in kept.groupBy(UNIT_COL).agg(F.count(F.lit(1)).alias("k")).collect()
+                for r in in_stats.join(kept_stats, UNIT_COL, "left").collect()
             }
         finally:
             parsed.unpersist()
@@ -188,8 +181,8 @@ class ResumablePipeline:
                     "unit": u,
                     "rows_in": st["rows_in"] if st else 0,
                     "rows_parsed": st["rows_parsed"] if st else 0,
-                    "rows_dropped": (st["rows_in"] - kept_map.get(u, 0)) if st else 0,
-                    "rows_routed": routed_map.get(u, 0),
+                    "rows_dropped": (st["rows_in"] - (st["rows_kept"] or 0)) if st else 0,
+                    "rows_routed": (st["rows_routed"] or 0) if st else 0,
                     "status": "committed",
                     "committed_at": time.time(),
                 }

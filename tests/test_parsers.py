@@ -205,3 +205,115 @@ def test_json_null_line_is_a_match(spark):
     # 'nullish' is NOT valid JSON -> falls through to the regex parser
     assert rows["nullish"]["parser"] == "regex"
     assert rows["nullish"]["parsed"] == {"word": "nullish"}
+
+
+# --- Go time-layout compiler (parser.go:14-22 accepts ANY layout) ----------
+
+from go_log_forwarder_spark.functions.parsers import go_layout_to_spark
+
+
+@pytest.mark.parametrize(
+    "layout,expected",
+    [
+        # Go stdlib layout constants (time/format.go)
+        ("Mon Jan _2 15:04:05 2006", "EEE MMM d HH:mm:ss yyyy"),  # ANSIC
+        ("Mon Jan 02 15:04:05 -0700 2006", "EEE MMM dd HH:mm:ss xx yyyy"),  # RubyDate
+        ("02 Jan 06 15:04 -0700", "dd MMM yy HH:mm xx"),  # RFC822Z
+        ("Monday, 02-Jan-06 15:04:05 MST", "EEEE, dd-MMM-yy HH:mm:ss zzz"),  # RFC850
+        ("Mon, 02 Jan 2006 15:04:05 -0700", "EEE, dd MMM yyyy HH:mm:ss xx"),  # RFC1123Z
+        ("3:04PM", "h:mma"),  # Kitchen
+        ("Jan _2 15:04:05.000", "MMM d HH:mm:ss.SSS"),  # StampMilli
+        ("2006-01-02T15:04:05.999999Z07:00", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"),
+        ("20060102150405", "yyyyMMddHHmmss"),
+        ("2006/01/02 03:04:05 PM Z0700", "yyyy/MM/dd hh:mm:ss a XX"),
+        ("15:04:05,000", "HH:mm:ss','SSS"),
+    ],
+)
+def test_go_layout_compiler_golden(layout, expected):
+    assert go_layout_to_spark(layout) == expected
+
+
+@pytest.mark.parametrize("layout", ["3:04pm", "15:04:05-070000", "2006-01-02 7"])
+def test_go_layout_compiler_loud_on_unknown(layout):
+    with pytest.raises(ValueError):
+        go_layout_to_spark(layout)
+
+
+def _render_go(layout: str, dt, offset: str = "+0000") -> str:
+    """Minimal Go time.Format renderer for the tokens the compiler maps
+    (property-test twin; day/hour values chosen 2-digit in the tests so the
+    _2 space-padding divergence never triggers)."""
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    days = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    h12 = dt.hour % 12 or 12
+    subs = [
+        ("2006", f"{dt.year:04d}"), ("January", dt.strftime("%B")),
+        ("Monday", dt.strftime("%A")), ("Jan", months[dt.month - 1]),
+        ("Mon", days[dt.weekday()]), ("01", f"{dt.month:02d}"),
+        ("02", f"{dt.day:02d}"), ("_2", f"{dt.day:2d}"),
+        ("15", f"{dt.hour:02d}"), ("03", f"{h12:02d}"),
+        ("04", f"{dt.minute:02d}"), ("05", f"{dt.second:02d}"),
+        ("06", f"{dt.year % 100:02d}"),
+        ("PM", "PM" if dt.hour >= 12 else "AM"),
+        ("-07:00", offset[:3] + ":" + offset[3:]),
+        ("-0700", offset),
+        ("Z07:00", "Z" if offset == "+0000" else offset[:3] + ":" + offset[3:]),
+        ("Z0700", "Z" if offset == "+0000" else offset),
+        (".000", f".{dt.microsecond // 1000:03d}"),
+        ("3", str(h12)), ("2", str(dt.day)), ("1", str(dt.month)),
+        ("4", str(dt.minute)), ("5", str(dt.second)),
+    ]
+    out, i = [], 0
+    while i < len(layout):
+        for tok, val in subs:
+            if layout.startswith(tok, i):
+                out.append(val)
+                i += len(tok)
+                break
+        else:
+            out.append(layout[i])
+            i += 1
+    return "".join(out)
+
+
+def test_go_layout_compiler_roundtrip(spark):
+    # render with Go semantics -> parse with the compiled Spark pattern ->
+    # exact instant back (UTC session; offsets exercise x/X forms)
+    import itertools
+
+    layouts = [
+        "Mon Jan 02 15:04:05 -0700 2006",
+        "Mon, 02 Jan 2006 15:04:05 -0700",
+        "02 Jan 06 15:04:05 -07:00",
+        "2006-01-02T15:04:05.000Z07:00",
+        "20060102150405",
+        "2006/01/02 03:04:05 PM",
+    ]
+    dts = [
+        datetime.datetime(2024, 2, 20, 15, 4, 5, 123000),
+        datetime.datetime(2031, 12, 31, 0, 30, 59, 0),  # yy in 00-68: Go and java.time agree on the 20xx pivot
+    ]
+    offsets = ["+0000", "-0730", "+0545"]
+    rows, expected = [], []
+    for li, (layout, dt, off) in enumerate(itertools.product(layouts, dts, offsets)):
+        rendered = _render_go(layout, dt, off)
+        rows.append((li, rendered))
+        sign = 1 if off[0] == "+" else -1
+        delta = datetime.timedelta(hours=int(off[1:3]), minutes=int(off[3:5]))
+        has_zone = "-0700" in layout or "Z07" in layout or "-07:00" in layout
+        has_frac = ".000" in layout
+        base = dt if has_frac else dt.replace(microsecond=0)
+        expected.append(base - sign * delta if has_zone else base)
+    from go_log_forwarder_spark.functions.parsers import go_time_parse
+
+    got = {}
+    by_layout = {}
+    for li, (layout, dt, off) in enumerate(itertools.product(layouts, dts, offsets)):
+        by_layout.setdefault(layout, []).append((li, rows[li][1]))
+    for layout, items in by_layout.items():
+        df = spark.createDataFrame(items, "i long, rendered string")
+        for r in df.select("i", go_time_parse(F.col("rendered"), layout).alias("ts")).collect():
+            got[r["i"]] = r["ts"]
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, (i, rows[i], got[i], exp)

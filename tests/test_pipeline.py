@@ -157,3 +157,30 @@ def test_per_partition_metrics(spark, pipeline_df):
     assert sum(r["rows_in"] for r in m) == 300
     assert all(r["rows_parsed"] <= r["rows_in"] for r in m)
     assert len(m) >= 1 and all(r["run_id"] == "r" for r in m)
+
+
+def test_fan_out_writes_one_job_per_sink(spark, tmp_path):
+    # counts come from Observation metrics folded into the write job itself:
+    # exactly ONE Spark job per sink, never a second counting pass.
+    from go_log_forwarder_spark.operators.routing import fan_out_writes
+
+    df = spark.createDataFrame(
+        [(i, "evt-error" if i % 3 == 0 else "evt-click") for i in range(90)],
+        "event_id long, tag string",
+    )
+    sinks = [SinkSpec("all", "*"), SinkSpec("err", "evt-err*"), SinkSpec("none", "")]
+
+    def write_fn(spec, sdf):
+        sdf.write.mode("overwrite").parquet(str(tmp_path / spec.name))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("fanout_test", "fan_out_writes job-count probe")
+    try:
+        counts = fan_out_writes(df, sinks, write_fn)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("fanout_test")
+    assert counts == {"all": 90, "err": 30, "none": 0}
+    assert len(jobs) == len(sinks), f"expected 1 job per sink, saw {len(jobs)}"
+    # and the written data matches the observed counts
+    assert spark.read.parquet(str(tmp_path / "err")).count() == 30
