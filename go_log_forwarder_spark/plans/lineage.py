@@ -28,13 +28,30 @@ import os
 import time
 import uuid
 from collections.abc import Callable
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.routing import SinkSpec
+from ..sources.storage import ParquetSnapshotStore
 
 UNIT_COL = "_unit"
+
+_METRICS_SCHEMA = (
+    "run_id string, unit string, rows_in long, rows_parsed long, "
+    "rows_dropped long, rows_routed long, status string"
+)
+
+
+def unit_size(unit: str) -> int | None:
+    """Current byte size of a unit (a file:// URI from input_file_name);
+    None when unreadable. The manifest of a real table format carries this."""
+    path = urlparse(unit).path or unit
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return None
 
 
 class LineageStore:
@@ -46,7 +63,7 @@ class LineageStore:
     def _run_dir(self, run_id: str) -> str:
         return os.path.join(self.base, run_id)
 
-    def committed(self, run_id: str) -> dict[str, dict]:
+    def committed(self, run_id: str, spark: SparkSession | None = None) -> dict[str, dict]:
         d = self._run_dir(run_id)
         if not os.path.isdir(d):
             return {}
@@ -68,12 +85,17 @@ class LineageStore:
                 os.fsync(f.fileno())
             os.rename(tmp, os.path.join(d, f"{uuid.uuid5(uuid.NAMESPACE_URL, rec['unit']).hex}.json"))
 
+    def invalidate(self, run_id: str, unit: str) -> None:
+        """Drop a unit's commit so the next run reprocesses it (the offset
+        reset of tail.go:409-415 at unit granularity)."""
+        p = os.path.join(
+            self._run_dir(run_id), f"{uuid.uuid5(uuid.NAMESPACE_URL, unit).hex}.json"
+        )
+        if os.path.exists(p):
+            os.remove(p)
+
     def metrics_df(self, spark: SparkSession, run_id: str) -> DataFrame:
         recs = list(self.committed(run_id).values())
-        schema = (
-            "run_id string, unit string, rows_in long, rows_parsed long, "
-            "rows_dropped long, rows_routed long, status string"
-        )
         rows = [
             (
                 r["run_id"], r["unit"], r["rows_in"], r["rows_parsed"],
@@ -81,7 +103,80 @@ class LineageStore:
             )
             for r in recs
         ]
-        return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows, _METRICS_SCHEMA)
+
+
+class TableLineageStore:
+    """Lineage as an append-only parquet-manifest TABLE (the Iceberg shape;
+    SURVEY §7.0): every commit/invalidation appends one atomic snapshot via
+    :class:`ParquetSnapshotStore`; a unit's state is its LATEST row
+    (invalidations are tombstone rows with status='invalidated'). On a real
+    cluster this is a config-only swap to Iceberg appends — same interface
+    as :class:`LineageStore`."""
+
+    TABLE = "lineage"
+    _SCHEMA = (
+        "run_id string, unit string, rows_in long, rows_parsed long, "
+        "rows_dropped long, rows_routed long, status string, "
+        "committed_at double, unit_size long"
+    )
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.store = ParquetSnapshotStore(base)
+
+    def _latest(self, run_id: str) -> DataFrame | None:
+        df = self.store.read(self.spark, self.TABLE)
+        if df is None:
+            return None
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("unit").orderBy(F.desc("committed_at"))
+        return (
+            df.filter(F.col("run_id") == run_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def committed(self, run_id: str, spark: SparkSession | None = None) -> dict[str, dict]:
+        latest = self._latest(run_id)
+        if latest is None:
+            return {}
+        return {
+            r["unit"]: r.asDict()
+            for r in latest.filter(F.col("status") == "committed").collect()
+        }
+
+    def commit(self, run_id: str, records: list[dict]) -> None:
+        rows = [
+            (
+                rec["run_id"], rec["unit"], rec["rows_in"], rec["rows_parsed"],
+                rec["rows_dropped"], rec["rows_routed"], rec["status"],
+                rec["committed_at"], rec.get("unit_size"),
+            )
+            for rec in records
+        ]
+        self.store.append(self.spark.createDataFrame(rows, self._SCHEMA), self.TABLE)
+
+    def invalidate(self, run_id: str, unit: str) -> None:
+        self.commit(
+            run_id,
+            [
+                {
+                    "run_id": run_id, "unit": unit, "rows_in": 0, "rows_parsed": 0,
+                    "rows_dropped": 0, "rows_routed": 0, "status": "invalidated",
+                    "committed_at": time.time(), "unit_size": None,
+                }
+            ],
+        )
+
+    def metrics_df(self, spark: SparkSession, run_id: str) -> DataFrame:
+        latest = self._latest(run_id)
+        cols = [c.strip().split(" ")[0] for c in _METRICS_SCHEMA.split(",")]
+        if latest is None:
+            return spark.createDataFrame([], _METRICS_SCHEMA)
+        return latest.filter(F.col("status") == "committed").select(*cols)
 
 
 class ResumablePipeline:
@@ -91,10 +186,12 @@ class ResumablePipeline:
     sinks receive ``kept_df`` rows whose tag matches their pattern.
     """
 
-    def __init__(self, work_dir: str, sinks: list[SinkSpec]):
+    def __init__(self, work_dir: str, sinks: list[SinkSpec], lineage=None):
         self.work_dir = work_dir
         self.sinks = sinks
-        self.lineage = LineageStore(os.path.join(work_dir, "_lineage"))
+        # default: filesystem JSON store; pass a TableLineageStore for the
+        # parquet-manifest (Iceberg-shaped) variant — same interface
+        self.lineage = lineage or LineageStore(os.path.join(work_dir, "_lineage"))
 
     def _sink_dir(self, sink: SinkSpec) -> str:
         return os.path.join(self.work_dir, "sinks", sink.name)
@@ -122,8 +219,25 @@ class ResumablePipeline:
         todo list, optionally 'crash' (raise) after writing sink data but
         BEFORE committing lineage for the tail half of that prefix.
         """
+        # drop Spark's cached file listing/sizes for this input up front —
+        # after a truncation/rotation a stale cached length makes the scan
+        # read past the new EOF (cheap: metadata only)
+        spark.catalog.refreshByPath(input_path)
         units = self.list_units(spark, input_path)
-        done = set(self.lineage.committed(run_id))
+        committed = self.lineage.committed(run_id, spark)
+        # truncation/replacement reset (tail.go:409-415: offset > size ->
+        # seek 0): a committed unit whose file is now SMALLER than at commit
+        # time was truncated/replaced — invalidate it so it reprocesses; the
+        # dynamic-partition-overwrite sink replaces its old output (no dup).
+        truncated = []
+        for u, rec in committed.items():
+            cur, old = unit_size(u), rec.get("unit_size")
+            if cur is not None and old is not None and cur < old:
+                self.lineage.invalidate(run_id, u)
+                truncated.append(u)
+        for u in truncated:
+            committed.pop(u)
+        done = set(committed)
         todo = [u for u in units if u not in done]
         if max_units_per_batch is not None:
             todo = todo[:max_units_per_batch]
@@ -185,6 +299,7 @@ class ResumablePipeline:
                     "rows_routed": (st["rows_routed"] or 0) if st else 0,
                     "status": "committed",
                     "committed_at": time.time(),
+                    "unit_size": unit_size(u),
                 }
             )
             self.lineage.commit(run_id, [records[-1]])

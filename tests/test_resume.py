@@ -3,6 +3,7 @@ lineage commit, rerun, assert no duplicates and no loss vs a clean run.
 Also snapshot-store atomicity + incremental reads."""
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -10,7 +11,7 @@ from pyspark.sql import functions as F
 from go_log_forwarder_spark.functions.filters import GrepFilter
 from go_log_forwarder_spark.functions.parsers import JsonParser, ParserChain
 from go_log_forwarder_spark.operators.routing import SinkSpec
-from go_log_forwarder_spark.plans.lineage import ResumablePipeline
+from go_log_forwarder_spark.plans.lineage import ResumablePipeline, TableLineageStore
 from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
 
 SINKS = [SinkSpec("all", "*"), SinkSpec("err", "evt-err*")]
@@ -43,19 +44,29 @@ def _totals(spark, workdir):
     return out
 
 
-def test_clean_vs_crash_resume(spark, tmp_path):
+def _mk_rp(spark, workdir, store_kind):
+    lineage = (
+        TableLineageStore(spark, workdir + "_lineage_tbl")
+        if store_kind == "table"
+        else None
+    )
+    return ResumablePipeline(workdir, SINKS, lineage=lineage)
+
+
+@pytest.mark.parametrize("store_kind", ["json", "table"])
+def test_clean_vs_crash_resume(spark, tmp_path, store_kind):
     inp = str(tmp_path / "input")
     _write_input(spark, inp)
 
     # clean single run
     clean_dir = str(tmp_path / "clean")
-    rp = ResumablePipeline(clean_dir, SINKS)
+    rp = _mk_rp(spark, clean_dir, store_kind)
     res = rp.run(spark, inp, _pipeline_fn, run_id="r1")
     assert res["processed"] == 8 and res["skipped"] == 0
 
     # crashed run: lineage committed for only 3 units, then failure
     crash_dir = str(tmp_path / "crash")
-    rp2 = ResumablePipeline(crash_dir, SINKS)
+    rp2 = _mk_rp(spark, crash_dir, store_kind)
     with pytest.raises(RuntimeError, match="injected failure"):
         rp2.run(spark, inp, _pipeline_fn, run_id="r1", fail_after_units=3)
     assert len(rp2.lineage.committed("r1")) == 3
@@ -107,3 +118,50 @@ def test_snapshot_store_atomic_and_incremental(spark, tmp_path):
     df3 = spark.range(100, 101)
     df3.write.mode("overwrite").parquet(str(tmp_path / "store/t/data/snap=99"))
     assert store.read(spark, "t").count() == 25  # still 25 — not committed
+
+
+def _replace_unit_smaller(spark, unit_uri, tmp_path):
+    """Overwrite one committed unit file with a SMALLER valid parquet
+    (same schema) — the truncation/rotation analog of tail.go:409-415."""
+    import glob
+    import shutil
+    from urllib.parse import urlparse
+
+    target = urlparse(unit_uri).path
+    small_dir = str(tmp_path / "_small")
+    spark.read.parquet(target).limit(2).coalesce(1).write.mode("overwrite").parquet(small_dir)
+    part = glob.glob(small_dir + "/part-*.parquet")[0]
+    assert os.path.getsize(part) < os.path.getsize(target)
+    shutil.copy(part, target)
+    # drop Hadoop's local-FS checksum sidecar for the replaced bytes (a
+    # local-filesystem artifact; HDFS/S3 rotation has no such sidecar)
+    d, base = os.path.split(target)
+    crc = os.path.join(d, f".{base}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+@pytest.mark.parametrize("store_kind", ["json", "table"])
+def test_truncated_unit_reprocessed_once(spark, tmp_path, store_kind):
+    # S3 truncation parity: a committed unit whose file shrank is
+    # invalidated and reprocessed exactly once; its sink output is REPLACED
+    # (dynamic partition overwrite), never duplicated.
+    inp = str(tmp_path / "input3")
+    _write_input(spark, inp, n=200, files=4)
+    wd = str(tmp_path / "wd3")
+    rp = _mk_rp(spark, wd, store_kind)
+    assert rp.run(spark, inp, _pipeline_fn, run_id="t1")["processed"] == 4
+
+    unit = rp.list_units(spark, inp)[1]
+    _replace_unit_smaller(spark, unit, tmp_path)
+
+    res = rp.run(spark, inp, _pipeline_fn, run_id="t1")
+    assert res["processed"] == 1 and res["skipped"] == 3
+
+    # outputs equal a clean run over the CURRENT (post-truncation) input
+    clean = str(tmp_path / "clean3")
+    _mk_rp(spark, clean, store_kind).run(spark, inp, _pipeline_fn, run_id="t1")
+    assert _totals(spark, wd) == _totals(spark, clean)
+
+    # stable afterwards: nothing reprocesses
+    assert rp.run(spark, inp, _pipeline_fn, run_id="t1")["processed"] == 0
