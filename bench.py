@@ -49,6 +49,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "tcp_chunks",
+    "multimodal_features",
     "windowed_route_counts",
     "sessionize",
     "http_lines_split",

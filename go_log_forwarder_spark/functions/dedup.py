@@ -56,10 +56,28 @@ def doc_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def jaccard_pairs(
-    df: DataFrame, threshold: float = 0.6, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int | None = 20_000,
 ) -> DataFrame:
-    """n-gram (unigram-set) Jaccard near-dup pairs: (id_a, id_b, jaccard)
-    with id_a < id_b and jaccard >= threshold, ROUND(j, 6)."""
+    """EXACT n-gram (unigram-set) Jaccard near-dup pairs: (id_a, id_b,
+    jaccard_micro) with id_a < id_b and jaccard >= threshold.
+
+    This is the full word self-join — candidate count grows quadratically,
+    so it is a VERIFIER for micro corpora or LSH candidate sets, never a
+    first-class corpus scan; ``max_docs`` guards against accidental use at
+    scale (pass None to bypass). The scale path is
+    :func:`minhash_lsh_dedup` (same exact verify, LSH-pruned candidates).
+    """
+    if max_docs is not None:
+        n = df.select(id_col).count()
+        if n > max_docs:
+            raise ValueError(
+                f"jaccard_pairs is quadratic: {n} docs > max_docs={max_docs}; "
+                "use minhash_lsh_dedup (LSH-pruned) or pass max_docs=None"
+            )
     dw = doc_words(df, text_col, id_col)
     sizes = dw.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = dw.alias("a")

@@ -270,3 +270,8 @@ def test_bucketed_pairs_equal_all_pairs_restricted_to_shared_bucket(spark):
     expected = {(a, b, m) for (a, b, m) in allp if cent[a] == cent[b]}
     assert bucketed == expected
     assert len(bucketed) > 0
+
+
+def test_jaccard_pairs_guard(spark, docs_df):
+    with pytest.raises(ValueError, match="quadratic"):
+        dd.jaccard_pairs(docs_df, max_docs=2)
