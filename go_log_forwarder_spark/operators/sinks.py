@@ -82,30 +82,15 @@ def stdout_plain_col(parsed: Column, raw: Column, tag: Column, event_time: Colum
     )
 
 
-_TEMPLATE_TOKEN = re.compile(r"\{\{\s*\.(Timestamp|Tag|Data\.\w+)\s*\}\}")
-
-
 def template_col(
     template: str, parsed: Column, tag: Column, event_time: Column
 ) -> Column:
-    """E7: the {{.Timestamp}}/{{.Tag}}/{{.Data.key}} subset of Go
-    text/template, compiled to a concat."""
-    parts: list[Column] = []
-    pos = 0
-    for m in _TEMPLATE_TOKEN.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos : m.start()]))
-        token = m.group(1)
-        if token == "Timestamp":
-            parts.append(F.date_format(event_time, RFC3339))
-        elif token == "Tag":
-            parts.append(tag)
-        else:
-            parts.append(F.coalesce(parsed.getItem(token.split(".", 1)[1]), F.lit("<no value>")))
-        pos = m.end()
-    if pos < len(template):
-        parts.append(F.lit(template[pos:]))
-    return F.concat(*parts) if parts else F.lit("")
+    """E7 (stdout.go:153-173): Go text/template compiled to one Column —
+    field actions, {{.Data}} map rendering, if/else, trim markers; Go
+    ``time.Time.String()`` timestamp rendering. See functions/gotemplate."""
+    from ..functions.gotemplate import compile_go_template
+
+    return compile_go_template(template, parsed, tag, event_time)
 
 
 def colorize_col(output: Column) -> Column:

@@ -104,8 +104,9 @@ def test_template_format(spark, event_df):
             F.col("parsed"), F.col("tag"), F.col("event_time"),
         ).alias("t")
     ).collect()
-    assert out[0]["t"] == "ts=2024-02-20T15:04:05Z tag=app-x a=1!"
-    assert out[1]["t"] == "ts=2024-02-20T15:04:05Z tag=app-y a=<no value>!"
+    # Go text/template renders {{.Timestamp}} via time.Time.String()
+    assert out[0]["t"] == "ts=2024-02-20 15:04:05 +0000 UTC tag=app-x a=1!"
+    assert out[1]["t"] == "ts=2024-02-20 15:04:05 +0000 UTC tag=app-y a=<no value>!"
 
 
 def test_colorize(spark):
@@ -313,3 +314,110 @@ def test_tcp_chunks_per_read_semantics(spark):
         ("c2", 3): "89",
     }
     assert all(r["tag"] == "tcp-log" for r in out.collect())
+
+
+# --- full Go text/template compiler (stdout.go:153-173) --------------------
+
+
+def test_go_template_full(spark, event_df):
+    # event_df row 0: parsed={a:1,b:2} tag=app-x; row 1: parsed=NULL tag=app-y
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    def render(tpl):
+        return [
+            r["t"]
+            for r in event_df.select(
+                compile_go_template(
+                    tpl, F.col("parsed"), F.col("tag"), F.col("event_time")
+                ).alias("t")
+            ).collect()
+        ]
+
+    # if/else with Go template truth (missing key -> false branch)
+    assert render("{{if .Data.a}}A={{.Data.a}}{{else}}noA{{end}}") == ["A=1", "noA"]
+    # {{.Data}} = Go fmt map rendering, sorted keys; nil map -> map[]
+    assert render("{{.Data}}") == ["map[a:1 b:2]", "map[]"]
+    # trim markers
+    assert render("x {{- .Tag -}} y") == ["xapp-xy", "xapp-yy"]
+    # nested if + literal braces handling
+    assert render("{{if .Data}}[{{if .Data.b}}b={{.Data.b}}{{end}}]{{else}}-{{end}}") == [
+        "[b=2]",
+        "-",
+    ]
+
+
+def test_go_template_loud_on_unsupported():
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    for tpl in ("{{range .Data}}x{{end}}", "{{.Nope}}", "{{if .Data}}x", "{{printf .Tag}}"):
+        with pytest.raises(ValueError):
+            compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
+
+
+# --- live HTTP sink (K3 variant: buffered HEC POSTs, splunk.go:158-235) ----
+
+
+def test_splunk_hec_sink_live_posts(spark):
+    import gzip
+    import http.server
+    import threading
+
+    from go_log_forwarder_spark.operators.http_sink import splunk_hec_sink
+
+    received = []
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                received.append((dict(self.headers), body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/services/collector"
+        df = spark.createDataFrame(
+            [(json.dumps({"event": {"k": str(i)}, "time": i}),) for i in range(20)],
+            "payload string",
+        ).coalesce(2)
+        splunk_hec_sink(df, url, token="tkn", buffer_threshold=60)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert received, "no POSTs arrived"
+    events = []
+    for headers, body in received:
+        assert headers["Authorization"] == "Splunk tkn"
+        assert headers["Content-Type"] == "application/json"
+        batch = json.loads(body)  # each flush is ONE valid JSON array
+        assert isinstance(batch, list) and batch
+        events.extend(batch)
+    assert sorted(e["time"] for e in events) == list(range(20))
+    # threshold means multiple flushes happened (20 payloads ~30B each)
+    assert len(received) > 2
+
+    # gzip variant roundtrips
+    received.clear()
+    srv2 = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        url2 = f"http://127.0.0.1:{srv2.server_address[1]}/services/collector"
+        df2 = spark.createDataFrame(
+            [(json.dumps({"event": {"k": "z"}, "time": 99}),)], "payload string"
+        )
+        splunk_hec_sink(df2, url2, compress=True)
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+    headers, body = received[0]
+    assert headers["Content-Encoding"] == "gzip"
+    assert json.loads(gzip.decompress(body))[0]["time"] == 99
