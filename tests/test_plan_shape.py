@@ -159,3 +159,51 @@ def test_bucketed_join_avoids_shuffle(spark, tokens_path):
         assert joined.count() == df.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tcp_chunks_shuffle_free(spark):
+    """Chunk-per-read explode is map-side only: no Exchange, no Python."""
+    from go_log_forwarder_spark.sources.tcp import tcp_chunks
+
+    bodies = spark.createDataFrame(
+        [("x" * 100, "c1")], "body string, remote_addr string"
+    )
+    plan = plan_of(tcp_chunks(bodies, buffer_size=16))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bucketed_pairs_plan_is_grouped_arrow_kernel(spark):
+    """The gated embedding-dedup plan: IVF assign (broadcast centroids) +
+    grouped-map Arrow kernel per bucket. NEVER a cartesian/nested-loop join
+    of the corpus against itself, and zero driver-side collect nodes."""
+    from go_log_forwarder_spark.functions import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(sim.bucketed_cosine_pairs(emb, 500000, k=4))
+    assert "FlatMapGroupsInPandas" in plan  # the per-bucket numpy kernel
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is row x K-CENTROIDS with the centroid side
+    # broadcast (k rows) — the intended assign shape; corpus x corpus would
+    # show as a second non-broadcast join or a cartesian product
+    assert "BroadcastExchange" in plan
+    assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin BuildRight") == 1
+
+
+def test_all_pairs_plan_is_block_shuffle_not_collect(spark):
+    """Exact all-pairs: ONE hash exchange (block-pair groups) feeding the
+    grouped Arrow kernel — no corpus broadcast, no nested-loop join."""
+    from go_log_forwarder_spark.functions import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(sim.all_pairs_cosine_micro(emb, 0, num_blocks=4))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
