@@ -474,6 +474,50 @@ def q_tokens_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CTX = 2048  # context length for concat-and-chunk packing
+
+
+def q_tokens_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data packing map (GPT-style concat-and-chunk): sequences are
+    concatenated per source in doc_id order and sliced into fixed
+    PACK_CTX-token context windows. Emits each doc's byte-exact placement:
+    start offset, first/last window id, whether it crosses a window
+    boundary. One window cumsum — a single shuffle on source, no Python."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    end = F.sum("n_tok").over(w)
+    win_first = F.floor((end - F.col("n_tok")) / PACK_CTX).cast("bigint")
+    win_last = F.floor((end - 1) / PACK_CTX).cast("bigint")
+    return toks.select(
+        "doc_id",
+        "source",
+        (end - F.col("n_tok")).cast("bigint").alias("start_off"),
+        win_first.alias("win_first"),
+        win_last.alias("win_last"),
+        (win_first != win_last).alias("crosses_boundary"),
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation OUTPUT of near-dup dedup: which documents survive.
+    A doc survives iff it is the keeper (min doc_id) of its near-dup
+    cluster (LSH-verified jaccard >= 0.5 relation -> connected components);
+    docs in no near-dup pair always survive."""
+    docs = _documents(spark, sf_dir)
+    pairs = dd.minhash_lsh_dedup(docs, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
+    labels = dd.dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id") == F.col("doc_id"), F.lit(True)).alias("survived"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (beyond-reference log-analytics op): per-user sessions
     split on >30-minute gaps (lag + cumulative-sum windows); per-session
@@ -790,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "dedup_clusters": q_dedup_clusters,
         "tokens_quality_filter": q_tokens_quality_filter,
+        "tokens_pack_concat": q_tokens_pack_concat,
+        "dedup_survivors": q_dedup_survivors,
         "sessionize": q_sessionize,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
@@ -946,6 +992,24 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN n_tok >= 8 AND n_tok <= 120 AND distinct_micro >= 500000
                             THEN distinct_micro END)::BIGINT AS sum_kept_distinct_micro
             FROM scored GROUP BY source
+        """,
+        "tokens_pack_concat": _TOKENS_CTE
+        + f"""
+            SELECT doc_id, source,
+                   CAST(SUM(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+                   CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / {PACK_CTX}.0) AS BIGINT) AS win_first,
+                   CAST(FLOOR((SUM(n_tok) OVER w - 1) / {PACK_CTX}.0) AS BIGINT) AS win_last,
+                   CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / {PACK_CTX}.0) AS BIGINT)
+                     <> CAST(FLOOR((SUM(n_tok) OVER w - 1) / {PACK_CTX}.0) AS BIGINT) AS crosses_boundary
+            FROM toks
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        """,
+        "dedup_survivors": f"""
+            SELECT d.doc_id,
+                   COALESCE(l.cluster_id = d.doc_id, TRUE) AS survived
+            FROM documents d
+            LEFT JOIN ({dd.dup_clusters_sql(_minhash_lsh_oracle_sql(JACCARD_THRESHOLD))}) l
+              ON l.id = d.doc_id
         """,
         "sessionize": """
             WITH g AS (

@@ -56,6 +56,7 @@ HEADLINE = [
     "sessionize",
     "http_lines_split",
     "tokens_quality_filter",
+    "tokens_pack_concat",
     "tokens_dedup_exact",
     "token_bigrams_topk",
     "dedup_embedding_cosine",
