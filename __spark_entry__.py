@@ -425,26 +425,37 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token bigram top-k: explode adjacent pairs, count,
     top 20 by (count desc, bigram asc) — the n-gram-stats scan shape."""
     toks = tokens_from_events(spark, sf_dir)
+    # Bigrams are ENCODED as one bigint (t1*2^32 + t2, exact for int32
+    # tokens) until the very end: the explode and the count shuffle move
+    # longs, not per-row concat'd strings (string build + string hash on
+    # ~50x row blowup was the dominant cost). The 20 surviving rows get
+    # their display string formatted after the top-k.
     # NB sequence(1,0) DESCENDS in Spark — guard the n_tok==1 case explicitly
-    gram_list = F.when(
+    enc = F.when(
         F.col("n_tok") >= 2,
         F.transform(
             F.sequence(F.lit(1), F.col("n_tok") - 1),
-            lambda i: F.concat(
-                F.try_element_at(F.col("tokens"), i).cast("string"),
-                F.lit("-"),
-                F.try_element_at(F.col("tokens"), i + 1).cast("string"),
-            ),
+            lambda i: F.try_element_at(F.col("tokens"), i).cast("bigint")
+            * F.lit(4294967296).cast("bigint")
+            + F.try_element_at(F.col("tokens"), i + 1).cast("bigint"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    bigrams = toks.select(F.explode(gram_list).alias("bigram"))
-    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    bigrams = toks.select(F.explode(enc).alias("bg"))
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    decoded = counts.select(
+        F.concat(
+            F.shiftright(F.col("bg"), 32).cast("string"),
+            F.lit("-"),
+            (F.col("bg") % 4294967296).cast("string"),
+        ).alias("bigram"),
+        "n",
+    )
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k +
     # merge) — a global row_number window would shuffle EVERY distinct
     # bigram into one partition. Rank is assigned on the 20-row result.
     from pyspark.sql.window import Window
 
-    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+    top = decoded.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
     return top.withColumn("rank", F.row_number().over(w))
 
@@ -586,7 +597,7 @@ def q_tcp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.concat(F.col("event_type"), F.lit(" "), F.col("event_id").cast("string"))
     bodies = (
         ev.select(
-            F.concat(F.lit("10.0.0."), (F.col("user_id") % 20).cast("string")).alias("remote_addr"),
+            F.concat(F.lit("10.0.0."), (F.col("user_id") % 199).cast("string")).alias("remote_addr"),
             F.struct(F.col("event_id"), line.alias("line")).alias("s"),
         )
         .groupBy("remote_addr")
@@ -1047,7 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tcp_chunks": f"""
             WITH lines AS (
-                SELECT '10.0.0.' || CAST(user_id % 20 AS VARCHAR) AS source,
+                SELECT '10.0.0.' || CAST(user_id % 199 AS VARCHAR) AS source,
                        event_type || ' ' || event_id AS line,
                        event_id
                 FROM events
