@@ -304,28 +304,32 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    from pyspark.sql import Observation
+
+    for i in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        new_cid = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+        )
+        # the changed-label count rides the checkpoint job as an observed
+        # metric — ONE action per iteration, not checkpoint + count
+        obs = Observation(f"dup_clusters_{i}")
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                new_cid.alias("cluster_id"),
+                (new_cid != F.col("cluster_id")).cast("long").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .drop("_chg")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             return labels
