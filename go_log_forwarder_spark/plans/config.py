@@ -105,7 +105,18 @@ def build_input_df(spark: SparkSession, input_cfg: dict) -> DataFrame:
         # batch analog: a table of (body, remote_addr) request rows
         bodies = spark.read.parquet(input_cfg["BodyTable"])
         return http_body_lines(bodies, tag=tag)
-    raise ValueError(f"unsupported batch input type {t!r} (tcp is streaming-only)")
+    if t == "tcp":
+        # batch analog: per-connection byte streams chunked per Read()
+        # (tcp.go:163-208 — no line split, 64KB default buffer)
+        from ..sources.tcp import DEFAULT_BUFFER_SIZE, tcp_chunks
+
+        bodies = spark.read.parquet(input_cfg["BodyTable"])
+        return tcp_chunks(
+            bodies,
+            buffer_size=int(input_cfg.get("BufferSize", DEFAULT_BUFFER_SIZE)),
+            tag=tag,
+        )
+    raise ValueError(f"unsupported batch input type {t!r}")
 
 
 def execute_plan(

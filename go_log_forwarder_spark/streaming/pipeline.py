@@ -76,6 +76,24 @@ def run_foreach_batch(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ingest_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state (training-data ingestion
+    extension; the reference has no dedup): duplicates from at-least-once
+    upstreams (retried posts, replayed chunks) are dropped while each key
+    is retained in state only until the watermark passes it —
+    ``dropDuplicates`` alone would grow state forever at 10^12-event scale.
+    Exact-once output for duplicates arriving within the watermark window;
+    later replays are a documented upstream-SLA violation."""
+    return stream_df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     sinks: list[SinkSpec],

@@ -421,3 +421,18 @@ def test_splunk_hec_sink_live_posts(spark):
     headers, body = received[0]
     assert headers["Content-Encoding"] == "gzip"
     assert json.loads(gzip.decompress(body))[0]["time"] == 99
+
+
+def test_build_input_df_tcp(spark, tmp_path):
+    from go_log_forwarder_spark.plans.config import build_input_df
+
+    bodies = str(tmp_path / "tcp_bodies")
+    spark.createDataFrame(
+        [("abcdefgh", "10.0.0.1:555")], "body string, remote_addr string"
+    ).write.parquet(bodies)
+    df = build_input_df(
+        spark, {"Type": "tcp", "Tag": "tcp-in", "BodyTable": bodies, "BufferSize": 3}
+    )
+    rows = {r["line_num"]: r["raw"] for r in df.collect()}
+    assert rows == {1: "abc", 2: "def", 3: "gh"}
+    assert df.head()["tag"] == "tcp-in"

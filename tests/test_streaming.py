@@ -107,3 +107,28 @@ def test_running_counter_stateful(spark, tmp_path):
         totals[r["key"]] = max(totals.get(r["key"], 0), r["running_total"])
     n_err_all = len([i for i in range(80) if i % 3 == 0])
     assert totals == {"evt-error": n_err_all, "evt-ok": 80 - n_err_all}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate events (at-least-once upstream) are dropped with bounded
+    state: one output row per key despite replays within the watermark."""
+    from go_log_forwarder_spark.streaming.pipeline import stream_dedup
+
+    indir = str(tmp_path / "din")
+    outdir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    base = _mk_batch(spark, 0, 30)
+    dup = _mk_batch(spark, 10, 30)  # 20 replayed events
+    base.unionByName(dup).coalesce(1).write.mode("append").parquet(indir)
+
+    deduped = stream_dedup(stream_events(spark, indir, SCHEMA), ["id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["id"] for r in spark.read.parquet(outdir).select("id").collect())
+    assert ids == list(range(30))  # each key exactly once
