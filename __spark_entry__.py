@@ -381,6 +381,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_documents(spark, sf_dir))
 
 
+SIMHASH_MAX_DIST = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via the banding pigeonhole (distance <= 3 ->
+    >= 1 of 4 bands matches exactly): band-bucket joins for candidates,
+    popcount(xor) verify — never an all-pairs scan."""
+    return dd.simhash_pairs(_documents(spark, sf_dir), max_distance=SIMHASH_MAX_DIST)
+
+
+def q_tokens_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-length distribution: count, min/max, and EXACT
+    p50/p95 order statistics. The percentile index is pure integer math
+    (k = (n-1)//2, (19*(n-1))//20) and the value is the (k+1)-th smallest
+    n_tok — no float interpolation, so the oracle matches bit-for-bit
+    (continuous-percentile formulas differ by 1 ulp across engines)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_from_events(spark, sf_dir).select("source", "n_tok")
+    w = Window.partitionBy("source").orderBy("n_tok")
+    ranked = toks.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.min("n_tok").alias("min_len"),
+        F.max("n_tok").alias("max_len"),
+        F.max(
+            F.when(F.col("rn") - 1 == ((F.col("n") - 1) / 2).cast("bigint"), F.col("n_tok"))
+        ).alias("p50_len"),
+        F.max(
+            F.when(
+                F.col("rn") - 1 == (19 * (F.col("n") - 1) / 20).cast("bigint"),
+                F.col("n_tok"),
+            )
+        ).alias("p95_len"),
+    )
+
+
 ANN_QUERY_PRED_SQL = "id < 5"
 
 EMB_DEDUP_MICRO = 360000  # testdata embeddings are random (max pair cosine
@@ -839,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "tokens_length_stats": q_tokens_length_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -986,6 +1027,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash": dd.simhash_sql("documents"),
+        "dedup_simhash_pairs": dd.simhash_pairs_sql("documents", SIMHASH_MAX_DIST),
+        "tokens_length_stats": _TOKENS_CTE
+        + """
+            , ranked AS (
+                SELECT source, n_tok,
+                       row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM toks
+            )
+            SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+                   MIN(n_tok) AS min_len, MAX(n_tok) AS max_len,
+                   MAX(CASE WHEN rn - 1 = (n - 1) // 2 THEN n_tok END) AS p50_len,
+                   MAX(CASE WHEN rn - 1 = (19 * (n - 1)) // 20 THEN n_tok END) AS p95_len
+            FROM ranked GROUP BY source
+        """,
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_ivf_topk": sim.ivf_topk_sql("embeddings", ANN_QUERY_PRED_SQL),

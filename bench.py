@@ -57,6 +57,7 @@ HEADLINE = [
     "http_lines_split",
     "tokens_quality_filter",
     "tokens_pack_concat",
+    "tokens_length_stats",
     "tokens_dedup_exact",
     "token_bigrams_topk",
     "dedup_embedding_cosine",

@@ -275,6 +275,86 @@ def simhash_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> s
     """
 
 
+def simhash_pairs(
+    df: DataFrame, max_distance: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming) with hamming distance
+    <= max_distance, found WITHOUT an all-pairs scan.
+
+    Banding pigeonhole: with B = max_distance + 1 bands of SIMHASH_BITS/B
+    bits, any pair within distance d <= max_distance differs in at most
+    max_distance bands, so it matches EXACTLY on at least one band —
+    candidates come from B band-bucket self-joins (each bucket tiny),
+    verify = popcount(xor) on the full signature. The standard simhash
+    index shape at web scale (Manku et al., WWW'07 — public algorithm).
+    """
+    B = max_distance + 1
+    if SIMHASH_BITS % B != 0:
+        raise ValueError(f"SIMHASH_BITS={SIMHASH_BITS} not divisible by {B} bands")
+    width = SIMHASH_BITS // B
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col)
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bsig"),
+                    )
+                    for b in range(B)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    table: str, max_distance: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`simhash_pairs` (same bands, same popcount)."""
+    B = max_distance + 1
+    width = SIMHASH_BITS // B
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bsig FROM sigs"
+        for b in range(B)
+    )
+    return f"""
+        WITH sigs AS ({simhash_sql(table, text_col, id_col)}),
+        bands AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, a.simhash AS sa, b.id AS id_b, b.simhash AS sb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(sa, sb)) <= {max_distance}
+    """
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Near-dup clustering: connected components over a pair relation
     (id_a, id_b) via iterative min-label propagation — the dedup step that

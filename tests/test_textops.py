@@ -275,3 +275,20 @@ def test_bucketed_pairs_equal_all_pairs_restricted_to_shared_bucket(spark):
 def test_jaccard_pairs_guard(spark, docs_df):
     with pytest.raises(ValueError, match="quadratic"):
         dd.jaccard_pairs(docs_df, max_docs=2)
+
+
+def test_simhash_pairs_banding_complete(spark, docs_df):
+    # pigeonhole completeness: the banded candidate set must contain EVERY
+    # pair within max_distance (verify against brute-force on all pairs)
+    sigs = {r["id"]: r["simhash"] for r in dd.simhash(docs_df).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_pairs(docs_df, max_distance=3).collect()
+    }
+    assert banded == brute
