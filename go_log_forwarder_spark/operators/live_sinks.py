@@ -1,4 +1,4 @@
-"""Live HTTP sink variant (K3): buffered Splunk-HEC POSTs from executors.
+"""Live sink variants (K3/K4): buffered executor-side network writers.
 
 The gated pipeline maps splunk/gelf sinks onto parquet tables (exactly-once
 via idempotent overwrite — SURVEY §2.7); this module is the LIVE variant
@@ -90,5 +90,57 @@ def splunk_hec_sink(
             if buflen > buffer_threshold:
                 flush()
         flush()  # K5: flush-on-shutdown — nothing stays buffered
+
+    df.select(payload_col).foreachPartition(handle_partition)
+
+
+DEFAULT_GELF_FLUSH_MESSAGES = 100  # gelf.go:120
+
+
+def gelf_tcp_sink(
+    df: DataFrame,
+    host: str,
+    port: int,
+    payload_col: str = "payload",
+    flush_messages: int = DEFAULT_GELF_FLUSH_MESSAGES,
+) -> None:
+    """Live GELF TCP variant (K4, gelf.go:95-150): one socket per
+    partition; messages buffer and flush once MORE than ``flush_messages``
+    are held (gelf.go:120-124), each framed as JSON + NUL (GELF TCP
+    framing); final flush + close mirrors Flush-on-Exit (K5). Same
+    at-least-once caveat as :func:`splunk_hec_sink`.
+
+    ``df`` carries one GELF JSON message per row in ``payload_col``
+    (built by :func:`..operators.sinks.gelf_message_col`).
+    """
+
+    def handle_partition(rows) -> None:
+        import socket
+
+        buf: list[str] = []
+        sock: socket.socket | None = None
+
+        def flush() -> None:
+            nonlocal sock
+            if not buf:
+                return
+            if sock is None:  # connect lazily: empty partitions never dial
+                sock = socket.create_connection((host, port), timeout=30)
+            for m in buf:
+                sock.sendall(m.encode("utf-8") + b"\x00")
+            buf.clear()
+
+        try:
+            for r in rows:
+                p = r[payload_col]
+                if p is None:
+                    continue
+                buf.append(p)
+                if len(buf) > flush_messages:
+                    flush()
+            flush()
+        finally:
+            if sock is not None:
+                sock.close()
 
     df.select(payload_col).foreachPartition(handle_partition)

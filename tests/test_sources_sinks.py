@@ -362,7 +362,7 @@ def test_splunk_hec_sink_live_posts(spark):
     import http.server
     import threading
 
-    from go_log_forwarder_spark.operators.http_sink import splunk_hec_sink
+    from go_log_forwarder_spark.operators.live_sinks import splunk_hec_sink
 
     received = []
     lock = threading.Lock()
@@ -436,3 +436,37 @@ def test_build_input_df_tcp(spark, tmp_path):
     rows = {r["line_num"]: r["raw"] for r in df.collect()}
     assert rows == {1: "abc", 2: "def", 3: "gh"}
     assert df.head()["tag"] == "tcp-in"
+
+
+def test_gelf_tcp_sink_live(spark):
+    import socketserver
+    import threading
+
+    from go_log_forwarder_spark.operators.live_sinks import gelf_tcp_sink
+
+    chunks = []
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            data = self.rfile.read()
+            with lock:
+                chunks.append(data)
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [(json.dumps({"version": "1.1", "short_message": str(i)}),) for i in range(7)],
+            "payload string",
+        ).coalesce(1)
+        gelf_tcp_sink(df, "127.0.0.1", srv.server_address[1], flush_messages=2)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    msgs = [m for c in chunks for m in c.split(b"\x00") if m]
+    got = sorted(json.loads(m)["short_message"] for m in msgs)
+    assert got == sorted(str(i) for i in range(7))  # NUL-framed, none lost
