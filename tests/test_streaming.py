@@ -132,3 +132,49 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.stop()
     ids = sorted(r["id"] for r in spark.read.parquet(outdir).select("id").collect())
     assert ids == list(range(30))  # each key exactly once
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows over a stream: counts land in the right
+    window per sink; watermark keeps state bounded (append mode emits only
+    finalized windows after later data advances the clock)."""
+    from go_log_forwarder_spark.streaming.pipeline import windowed_counts
+
+    indir = str(tmp_path / "win")
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, "{}", "evt-error" if i % 2 == 0 else "evt-ok", base + datetime.timedelta(seconds=30 * i))
+        for i in range(8)  # spans two 1-minute windows per tag
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(indir)
+    stream = stream_events(spark, indir, SCHEMA).withColumnRenamed("ingest_time", "event_time")
+    agg = windowed_counts(stream, SINKS, time_col="event_time", window="1 minute")
+    q = agg.writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        (r["win"]["start"].minute, r["sink_name"]): r["n"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # ids 0..7 at :30s spacing -> minutes 0 (ids 0-1), 1 (2-3), 2 (4-5), 3 (6-7)
+    assert out[(0, "all")] == 2 and out[(1, "all")] == 2
+    assert out[(0, "err")] == 1  # id 0 only (id 1 is evt-ok)
+    assert sum(n for (m, s), n in out.items() if s == "all") == 8
+
+
+def test_tail_stream_trims_and_skips(spark, tmp_path):
+    from go_log_forwarder_spark.sources.tail import tail_stream
+
+    d = tmp_path / "taildir"
+    d.mkdir()
+    (d / "a.log").write_text("one\r\n  \r\n three \nfour")
+    q = (
+        tail_stream(spark, str(d), tag="t1")
+        .writeStream.format("memory")
+        .queryName("tail_rows")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [r["raw"] for r in spark.sql("select raw from tail_rows").collect()]
+    assert sorted(rows) == ["four", "one", "three"]  # CRLF trimmed, blank skipped
