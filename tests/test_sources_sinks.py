@@ -470,3 +470,28 @@ def test_gelf_tcp_sink_live(spark):
     msgs = [m for c in chunks for m in c.split(b"\x00") if m]
     got = sorted(json.loads(m)["short_message"] for m in msgs)
     assert got == sorted(str(i) for i in range(7))  # NUL-framed, none lost
+
+
+def test_tcp_chunks_property_reassembly(spark):
+    # property: chunks reassemble to the exact body, every chunk is <= the
+    # buffer size and non-empty, and chunk numbering is contiguous from 1
+    import random
+
+    rnd = random.Random(42)
+    alphabet = "ab \n\t\r\0xyz"
+    bodies = [
+        ("".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 50))), f"c{i}")
+        for i in range(200)
+    ]
+    from go_log_forwarder_spark.sources.tcp import tcp_chunks
+
+    df = spark.createDataFrame(bodies, "body string, remote_addr string")
+    out = tcp_chunks(df, buffer_size=7).collect()
+    by_src = {}
+    for r in out:
+        assert 1 <= len(r["raw"]) <= 7
+        by_src.setdefault(r["source"], []).append((r["line_num"], r["raw"]))
+    for body, src in bodies:
+        got = sorted(by_src.get(src, []))
+        assert [n for n, _ in got] == list(range(1, len(got) + 1))
+        assert "".join(c for _, c in got) == body
