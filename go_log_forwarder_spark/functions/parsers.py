@@ -122,9 +122,10 @@ def go_layout_to_spark(layout: str) -> str:
     layout is a build error here.
 
     Documented divergences: two-digit years 69-99 pivot to 19xx in Go but
-    20xx in java.time; Go's ``_2`` space-pads single-digit days where
-    java.time ``d`` expects no pad; ``.999`` fractions must carry the full
-    digit count when present (Go trims trailing zeros).
+    20xx in java.time; ``.999`` fractions must carry the full digit count
+    when present (Go trims trailing zeros). Go's ``_2`` space-padding is
+    handled by :func:`go_time_parse` (value-side pad collapse) — the bare
+    pattern from this function still expects an unpadded day.
     """
     if layout in GO_TO_SPARK_TIME_LAYOUTS:
         return GO_TO_SPARK_TIME_LAYOUTS[layout]
@@ -192,6 +193,10 @@ def go_time_parse(raw: Column, go_layout: str) -> Column:
     if "EEE" in fmt:
         fmt = fmt.replace("EEEE", "").replace("EEE", "")
         raw = F.regexp_replace(raw, _DAY_NAME_RE, "")
+    if "_2" in go_layout:
+        # Go renders the _2 / __2 tokens space-PADDED (" 5"); java.time 'd'
+        # has no pad modifier, so collapse the pad spaces in the value
+        raw = F.regexp_replace(raw, " {2,}(\\d)", " $1")
     return F.try_to_timestamp(raw, F.lit(fmt))
 
 

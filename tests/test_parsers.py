@@ -283,6 +283,7 @@ def test_go_layout_compiler_roundtrip(spark):
     import itertools
 
     layouts = [
+        "Mon Jan _2 15:04:05 2006",  # ANSIC (space-padded day handled in go_time_parse)
         "Mon Jan 02 15:04:05 -0700 2006",
         "Mon, 02 Jan 2006 15:04:05 -0700",
         "02 Jan 06 15:04:05 -07:00",
@@ -291,7 +292,7 @@ def test_go_layout_compiler_roundtrip(spark):
         "2006/01/02 03:04:05 PM",
     ]
     dts = [
-        datetime.datetime(2024, 2, 20, 15, 4, 5, 123000),
+        datetime.datetime(2024, 2, 5, 15, 4, 5, 123000),  # day 5: exercises _2 padding
         datetime.datetime(2031, 12, 31, 0, 30, 59, 0),  # yy in 00-68: Go and java.time agree on the 20xx pivot
     ]
     offsets = ["+0000", "-0730", "+0545"]
