@@ -354,6 +354,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality score: two-pass word-count + shuffle-join
+    re-aggregation (ts.doc_freq_score) — integer-exact until the final
+    micro-quantized division."""
+    return ts.doc_freq_score(_documents(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_documents(spark, sf_dir))
 
@@ -874,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "text_doc_freq": q_text_doc_freq,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1023,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": "SELECT doc_id, "
         + ", ".join(ts.fingerprint_sql("text"))
         + " FROM documents",
+        "text_doc_freq": ts.doc_freq_score_sql("documents"),
         "dedup_exact": dd.exact_dedup_sql("documents"),
         "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),

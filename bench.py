@@ -44,6 +44,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "doc_fingerprint",
+    "text_doc_freq",
     "dedup_exact",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -27,6 +27,45 @@ STOPWORDS = {
 BPE_ISH_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"  # word | digit | other-symbol
 
 
+def doc_freq_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-frequency quality score (training-data curation signal): for
+    each doc, the mean corpus frequency of its word OCCURRENCES — high =
+    boilerplate/common-word text, low = rare-token noise. Two-pass shape:
+    corpus word counts (map-side partial agg), shuffle-join back to the
+    occurrence relation on ``word``, re-aggregate per doc. All integers
+    until one final division (micro fixed-point) — cross-engine exact.
+    Returns (doc_id, n_words, sum_freq, mean_freq_micro)."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    joined = words.join(counts, "word")
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("wc").alias("sum_freq"),
+        micro_col(F.sum("wc").cast("double") / F.count(F.lit(1))).alias("mean_freq_micro"),
+    ).select(F.col("id").alias(id_col), "n_words", "sum_freq", "mean_freq_micro")
+
+
+def doc_freq_score_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`doc_freq_score`."""
+    ws = words_sql(text_col)
+    return f"""
+        WITH words AS (
+            SELECT {id_col} AS id, unnest({ws}) AS word FROM {table}
+        ),
+        counts AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word)
+        SELECT w.id AS {id_col},
+               COUNT(*)::BIGINT AS n_words,
+               CAST(SUM(c.wc) AS BIGINT) AS sum_freq,
+               {micro_sql('CAST(SUM(c.wc) AS DOUBLE) / COUNT(*)')} AS mean_freq_micro
+        FROM words w JOIN counts c USING (word)
+        GROUP BY w.id
+    """
+
+
 def words_col(text: Column) -> Column:
     """Whitespace tokenization (empty-safe)."""
     return F.split(F.trim(text), r"\s+")
