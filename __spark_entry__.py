@@ -575,6 +575,55 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_CHANGE_MOD = 97  # every 97th event is a rate-change point
+
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal enrichment — brief-named custom operator): each
+    event picks up the LATEST rate change at or before its timestamp for
+    its event_type. Implemented as union + per-key last-value carry-forward
+    (operators/asof.py — one shuffle, no range cross-join); the oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, an independent implementation."""
+    from go_log_forwarder_spark.operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select("event_id", "event_type", "ts")
+    changes = (
+        ev.filter(F.col("event_id") % ASOF_CHANGE_MOD == 0)
+        .groupBy("event_type", "ts")
+        .agg(F.max(F.col("event_id") % 1000).cast("bigint").alias("rate"))
+    )
+    joined = as_of_join(
+        left, changes, key="event_type", left_time="ts", right_time="ts",
+        payload_cols=["rate"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rate").cast("bigint").alias("sum_rate"),
+        F.sum(F.col("rate").isNull().cast("long")).alias("n_no_rate"),
+    )
+
+
+def _asof_oracle_sql() -> str:
+    from go_log_forwarder_spark.operators.asof import as_of_join_sql
+
+    left_sql = "SELECT event_id, event_type, ts FROM events"
+    right_sql = (
+        f"SELECT event_type, ts, CAST(MAX(event_id % 1000) AS BIGINT) AS rate "
+        f"FROM events WHERE event_id % {ASOF_CHANGE_MOD} = 0 GROUP BY event_type, ts"
+    )
+    asof = as_of_join_sql(
+        left_sql, right_sql, key="event_type", left_time="ts", right_time="ts",
+        payload_cols=["rate"], left_cols=["event_id", "event_type", "ts"],
+    )
+    return f"""
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               CAST(SUM(rate) AS BIGINT) AS sum_rate,
+               CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_rate
+        FROM ({asof}) GROUP BY event_type
+    """
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (beyond-reference log-analytics op): per-user sessions
     split on >30-minute gaps (lag + cumulative-sum windows); per-session
@@ -897,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_pack_concat": q_tokens_pack_concat,
         "dedup_survivors": q_dedup_survivors,
         "sessionize": q_sessionize,
+        "asof_enrich": q_asof_enrich,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
         "windowed_route_counts": q_windowed_route_counts,
@@ -1087,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ({dd.dup_clusters_sql(_minhash_lsh_oracle_sql(JACCARD_THRESHOLD))}) l
               ON l.id = d.doc_id
         """,
+        "asof_enrich": _asof_oracle_sql(),
         "sessionize": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

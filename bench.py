@@ -55,6 +55,7 @@ HEADLINE = [
     "multimodal_features",
     "windowed_route_counts",
     "sessionize",
+    "asof_enrich",
     "http_lines_split",
     "tokens_quality_filter",
     "tokens_pack_concat",

@@ -1,0 +1,90 @@
+"""As-of join: each left row gets the LATEST right row at or before its
+timestamp, per key — the temporal-enrichment operator (rates, configs,
+dimension versions) that Spark's DataFrame API lacks natively.
+
+Scalable realization (no range cross-join, no per-row backward scan):
+
+1. tag both sides and union them (right payload NULL on left rows),
+2. one window per key ordered by (time, side) — right rows sort BEFORE
+   left rows at equal time so ``<=`` semantics hold,
+3. ``last(payload, ignorenulls=True)`` over the unbounded-preceding frame
+   carries the most recent right payload forward,
+4. filter the left rows back out.
+
+Cost: ONE shuffle on the key (the same partitioning a plain join would
+need) + a per-partition sort — at 10^12 rows this is the plan you want;
+the naive ``left.ts >= right.ts`` non-equi join explodes to the full
+range product and falls into BroadcastNestedLoopJoin.
+
+The DuckDB oracle is the native ``ASOF LEFT JOIN`` (identical semantics),
+so the operator is value-hash-gated against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: all ``left`` columns + ``payload_cols`` from the
+    latest ``right`` row with ``right_time <= left_time`` and equal
+    ``key`` (NULL when no such row). ``right`` must be unique per
+    (key, right_time) — pre-aggregate if it is not.
+    """
+    lcols = left.columns
+    l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    for c in payload_cols:
+        l = l.withColumn(c, F.lit(None))
+    r = right.select(
+        F.col(key),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in payload_cols],
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    unioned = l.select(key, "_t", "_side", *payload_cols, *[c for c in lcols if c != key]).unionByName(
+        r.select(key, "_t", "_side", *payload_cols, *[c for c in lcols if c != key])
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        key,
+        "_side",
+        *[c for c in lcols if c != key],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return carried.filter(F.col("_side") == 1).select(*lcols, *payload_cols)
+
+
+def as_of_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    left_cols: list[str],
+) -> str:
+    """DuckDB oracle twin: the native ASOF LEFT JOIN."""
+    pl = ", ".join(f"r.{c}" for c in payload_cols)
+    lc = ", ".join(f"l.{c}" for c in left_cols)
+    return f"""
+        SELECT {lc}, {pl}
+        FROM ({left_sql}) l
+        ASOF LEFT JOIN ({right_sql}) r
+          ON l.{key} = r.{key} AND l.{left_time} >= r.{right_time}
+    """

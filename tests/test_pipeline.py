@@ -184,3 +184,41 @@ def test_fan_out_writes_one_job_per_sink(spark, tmp_path):
     assert len(jobs) == len(sinks), f"expected 1 job per sink, saw {len(jobs)}"
     # and the written data matches the observed counts
     assert spark.read.parquet(str(tmp_path / "err")).count() == 30
+
+
+def test_as_of_join_semantics(spark):
+    # golden: latest right row with time <= left time, per key; inclusive
+    # at equal timestamps; NULL before the first change
+    from go_log_forwarder_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [("a", 1, 100), ("a", 5, 101), ("a", 7, 102), ("b", 3, 103), ("c", 9, 104)],
+        "k string, t long, row_id long",
+    )
+    right = spark.createDataFrame(
+        [("a", 2, 10), ("a", 5, 20), ("a", 6, 30), ("b", 1, 40)],
+        "k string, t long, rate long",
+    )
+    out = {
+        r["row_id"]: r["rate"]
+        for r in as_of_join(left, right, "k", "t", "t", ["rate"]).collect()
+    }
+    assert out == {100: None, 101: 20, 102: 30, 103: 40, 104: None}
+
+
+def test_as_of_join_single_shuffle(spark):
+    # the union + carry-forward plan shuffles ONCE on the key — never a
+    # range cross-join / BroadcastNestedLoopJoin
+    from go_log_forwarder_spark.operators.asof import as_of_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("t")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 7).alias("t"),
+        F.col("id").alias("rate"),
+    )
+    plan = as_of_join(left, right, "k", "t", "t", ["rate"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
