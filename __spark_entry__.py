@@ -575,6 +575,56 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (brief-named custom operator): events matched to the
+    half-open 30-minute 'maintenance windows' that contain them (windows =
+    every even hour per event_type). Bucketed interval join
+    (operators/rangejoin.py) — equi-join on (key, time bucket) + exact
+    containment filter; the oracle is DuckDB's inequality join (IEJoin)."""
+    from go_log_forwarder_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    points = ev.select("event_id", "event_type", "ts")
+    hours = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("win_start"))
+        .distinct()
+        .filter(F.hour("win_start") % 2 == 0)
+    )
+    intervals = hours.withColumn(
+        "win_end", F.col("win_start") + F.expr("INTERVAL 30 MINUTES")
+    )
+    joined = range_join(
+        points, intervals, key="event_type", time_col="ts",
+        start_col="win_start", end_col="win_end", bucket_seconds=3600,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.countDistinct("win_start").alias("n_windows"),
+    )
+
+
+def _range_join_oracle_sql() -> str:
+    from go_log_forwarder_spark.operators.rangejoin import range_join_sql
+
+    points_sql = "SELECT event_id, event_type, ts FROM events"
+    intervals_sql = """
+        SELECT event_type, win_start, win_start + INTERVAL 30 MINUTE AS win_end
+        FROM (SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start FROM events)
+        WHERE EXTRACT(hour FROM win_start) % 2 = 0
+    """
+    rj = range_join_sql(
+        points_sql, intervals_sql, key="event_type", time_col="ts",
+        start_col="win_start", end_col="win_end",
+        point_cols=["event_id", "event_type", "ts"],
+        interval_cols=["win_start", "win_end"],
+    )
+    return f"""
+        SELECT event_type, COUNT(*)::BIGINT AS n_in_window,
+               CAST(COUNT(DISTINCT win_start) AS BIGINT) AS n_windows
+        FROM ({rj}) GROUP BY event_type
+    """
+
+
 ASOF_CHANGE_MOD = 97  # every 97th event is a rate-change point
 
 
@@ -947,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "sessionize": q_sessionize,
         "asof_enrich": q_asof_enrich,
+        "range_join_windows": q_range_join_windows,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
         "windowed_route_counts": q_windowed_route_counts,
@@ -1138,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.id = d.doc_id
         """,
         "asof_enrich": _asof_oracle_sql(),
+        "range_join_windows": _range_join_oracle_sql(),
         "sessionize": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

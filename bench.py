@@ -56,6 +56,7 @@ HEADLINE = [
     "windowed_route_counts",
     "sessionize",
     "asof_enrich",
+    "range_join_windows",
     "http_lines_split",
     "tokens_quality_filter",
     "tokens_pack_concat",

@@ -222,3 +222,48 @@ def test_as_of_join_single_shuffle(spark):
     plan = as_of_join(left, right, "k", "t", "t", ["rate"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_semantics(spark):
+    # half-open containment; long intervals span multiple buckets without
+    # duplicating matches; non-matching keys/times drop
+    import datetime as dtm
+
+    from go_log_forwarder_spark.operators.rangejoin import range_join
+
+    T0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return T0 + dtm.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [("a", ts(5), 1), ("a", ts(30), 2), ("a", ts(150), 3), ("b", ts(5), 4)],
+        "k string, t timestamp, pid long",
+    )
+    intervals = spark.createDataFrame(
+        # [0, 30) single-bucket; [60, 180) spans 3 hourly buckets
+        [("a", ts(0), ts(30), 10), ("a", ts(60), ts(180), 20)],
+        "k string, s timestamp, e timestamp, iid long",
+    )
+    out = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "k", "t", "s", "e").collect()
+    }
+    # pid 1 in iid 10; pid 2 at t=30 EXCLUDED (half-open); pid 3 in iid 20
+    # exactly once despite the 3-bucket explode; pid 4 wrong key
+    assert out == {(1, 10), (3, 20)}
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    import datetime as dtm
+
+    from go_log_forwarder_spark.operators.rangejoin import range_join
+
+    T0 = dtm.datetime(2024, 1, 1)
+    points = spark.createDataFrame([("a", T0, 1)], "k string, t timestamp, pid long")
+    intervals = spark.createDataFrame(
+        [("a", T0, T0 + dtm.timedelta(hours=1), 2)],
+        "k string, s timestamp, e timestamp, iid long",
+    )
+    plan = range_join(points, intervals, "k", "t", "s", "e")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
