@@ -33,6 +33,7 @@ from go_log_forwarder_spark.functions import dedup as dd
 from go_log_forwarder_spark.functions import multimodal as mm
 from go_log_forwarder_spark.functions.grok import grok_parser, grok_to_regex
 from go_log_forwarder_spark.functions import similarity as sim
+from go_log_forwarder_spark.functions import sketch as sk
 from go_log_forwarder_spark.functions import textstats as ts
 from go_log_forwarder_spark.operators.partitioning import salted_repartition
 from go_log_forwarder_spark.operators.routing import SinkSpec, route_exploded
@@ -674,6 +675,14 @@ def _asof_oracle_sql() -> str:
     """
 
 
+def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register state (novel-sketch component): distinct-user
+    sketch per event_type — the register relation is exact integer/string
+    math (md5 hash, bin() rank) so the SKETCH STATE itself is hash-gated;
+    estimate accuracy is pinned in tests/test_textops.py."""
+    return sk.hll_registers(_events(spark, sf_dir), "user_id", ["event_type"])
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (beyond-reference log-analytics op): per-user sessions
     split on >30-minute gaps (lag + cumulative-sum windows); per-session
@@ -998,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_enrich": q_asof_enrich,
         "range_join_windows": q_range_join_windows,
+        "hll_user_sketch": q_hll_user_sketch,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
         "windowed_route_counts": q_windowed_route_counts,
@@ -1190,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_enrich": _asof_oracle_sql(),
         "range_join_windows": _range_join_oracle_sql(),
+        "hll_user_sketch": sk.hll_registers_sql("events", "user_id", ["event_type"]),
         "sessionize": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

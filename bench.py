@@ -57,6 +57,7 @@ HEADLINE = [
     "sessionize",
     "asof_enrich",
     "range_join_windows",
+    "hll_user_sketch",
     "http_lines_split",
     "tokens_quality_filter",
     "tokens_pack_concat",

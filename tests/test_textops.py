@@ -292,3 +292,35 @@ def test_simhash_pairs_banding_complete(spark, docs_df):
         for r in dd.simhash_pairs(docs_df, max_distance=3).collect()
     }
     assert banded == brute
+
+
+def test_hll_registers_and_estimate(spark):
+    # sketch state is exact; the estimate from it lands within HLL's error
+    # envelope of the true cardinality (p=6 -> sigma ~13%; assert 4 sigma)
+    from go_log_forwarder_spark.functions import sketch as sk
+
+    df = spark.range(20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 4821).alias("k"),  # true distinct ~4821/3 per group... actually per g: ids with id%3==g -> k values
+    )
+    regs = sk.hll_registers(df, "k", ["g"]).collect()
+    by_g = {}
+    for r in regs:
+        by_g.setdefault(r["g"], {})[r["bucket"]] = r["register"]
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    for g, registers in by_g.items():
+        est = sk.hll_estimate(registers)
+        assert 0.5 * exact[g] <= est <= 1.6 * exact[g], (g, est, exact[g])
+    # merge property: registers of the union == elementwise max of the parts
+    all_regs = {
+        r["bucket"]: r["register"]
+        for r in sk.hll_registers(df.withColumn("g", F.lit("all")), "k", ["g"]).collect()
+    }
+    merged = {}
+    for registers in by_g.values():
+        for b, v in registers.items():
+            merged[b] = max(merged.get(b, 0), v)
+    assert merged == all_regs
