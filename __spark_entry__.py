@@ -675,6 +675,40 @@ def _asof_oracle_sql() -> str:
     """
 
 
+def q_rollup_hour_day_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (brief-named custom operator): hour/day/week
+    continuous aggregates per event_type, coarse levels DERIVED from the
+    finer level's partials (operators/rollup.py). The oracle computes every
+    level independently from the raw rows — so the gate also proves
+    rollup-from-partials == rollup-from-raw."""
+    from go_log_forwarder_spark.operators.rollup import time_rollup
+
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return time_rollup(
+        ev,
+        time_col="ts",
+        keys=["event_type"],
+        aggs=[
+            ("n", F.count(F.lit(1)), "sum"),
+            ("sum_cents", F.sum(cents), "sum"),
+            ("max_cents", F.max(cents), "max"),
+        ],
+    )
+
+
+def _rollup_oracle_sql() -> str:
+    per_level = " UNION ALL ".join(
+        f"""SELECT '{lvl}' AS level, date_trunc('{lvl}', ts) AS bucket, event_type,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+            FROM events GROUP BY 2, 3"""
+        for lvl in ("hour", "day", "week")
+    )
+    return per_level
+
+
 def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register state (novel-sketch component): distinct-user
     sketch per event_type — the register relation is exact integer/string
@@ -1008,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "range_join_windows": q_range_join_windows,
         "hll_user_sketch": q_hll_user_sketch,
+        "rollup_hour_day_week": q_rollup_hour_day_week,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
         "windowed_route_counts": q_windowed_route_counts,
@@ -1201,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": _asof_oracle_sql(),
         "range_join_windows": _range_join_oracle_sql(),
         "hll_user_sketch": sk.hll_registers_sql("events", "user_id", ["event_type"]),
+        "rollup_hour_day_week": _rollup_oracle_sql(),
         "sessionize": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

@@ -58,6 +58,7 @@ HEADLINE = [
     "asof_enrich",
     "range_join_windows",
     "hll_user_sketch",
+    "rollup_hour_day_week",
     "http_lines_split",
     "tokens_quality_filter",
     "tokens_pack_concat",

@@ -1,0 +1,52 @@
+"""Hypertable-style time rollup: multi-resolution continuous aggregates.
+
+The hypertable/continuous-aggregate trick: the FINEST level aggregates the
+raw rows exactly once; every coarser level re-aggregates the previous
+level's OUTPUT (a day bucket merges 24 hourly partials, never the 10^12
+raw rows again). That works because the aggregates are decomposable —
+counts and sums merge with sum, min/max with min/max — the same property
+Spark's own partial aggregation exploits within one groupBy.
+
+In one Spark query plan the hour->day->week chain shares the hourly
+aggregate subtree (AQE exchange reuse); in production each level is
+materialized as its own table and incrementally refreshed, which this
+operator's shape maps to directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def time_rollup(
+    df: DataFrame,
+    time_col: str,
+    keys: list[str],
+    aggs: list[tuple[str, Column, str]],
+    levels: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Aggregate ``df`` at each time resolution in ``levels`` (finest
+    first; each must truncate-nest into the next). ``aggs`` is a list of
+    (name, base aggregate Column over raw rows, merge fn in sum|min|max).
+    Returns one frame: (level, bucket, *keys, *agg names).
+    """
+    for _, _, m in aggs:
+        if m not in _MERGE:
+            raise ValueError(f"unsupported merge {m!r}; decomposable merges: {sorted(_MERGE)}")
+    out = None
+    cur = None
+    for lvl in levels:
+        if cur is None:
+            cur = df.groupBy(
+                F.date_trunc(lvl, F.col(time_col)).alias("bucket"), *keys
+            ).agg(*[base.alias(n) for n, base, _ in aggs])
+        else:
+            cur = cur.groupBy(
+                F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *keys
+            ).agg(*[_MERGE[m](n).alias(n) for n, _, m in aggs])
+        lev = cur.select(F.lit(lvl).alias("level"), "bucket", *keys, *[n for n, _, _ in aggs])
+        out = lev if out is None else out.unionByName(lev)
+    return out

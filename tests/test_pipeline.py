@@ -267,3 +267,34 @@ def test_range_join_plan_no_nested_loop(spark):
     )
     plan = range_join(points, intervals, "k", "t", "s", "e")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_time_rollup_reuses_finer_level(spark):
+    import datetime as dtm
+
+    from go_log_forwarder_spark.operators.rollup import time_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("a", dtm.datetime(2024, 1, 1, 10, 15), 3),
+            ("a", dtm.datetime(2024, 1, 1, 10, 45), 5),
+            ("a", dtm.datetime(2024, 1, 2, 3, 0), 7),
+            ("b", dtm.datetime(2024, 1, 1, 10, 0), 11),
+        ],
+        "k string, t timestamp, v long",
+    )
+    out = time_rollup(
+        df, "t", ["k"],
+        [("n", F.count(F.lit(1)), "sum"), ("mx", F.max("v"), "max")],
+        levels=("hour", "day"),
+    )
+    rows = {(r["level"], r["bucket"], r["k"]): (r["n"], r["mx"]) for r in out.collect()}
+    assert rows[("hour", dtm.datetime(2024, 1, 1, 10), "a")] == (2, 5)
+    assert rows[("day", dtm.datetime(2024, 1, 1), "a")] == (2, 5)
+    assert rows[("day", dtm.datetime(2024, 1, 2), "a")] == (1, 7)
+    assert rows[("day", dtm.datetime(2024, 1, 1), "b")] == (1, 11)
+    # the day level consumes the hour level's aggregate, never the raw rows:
+    # its plan nests a second HashAggregate over the first (no second scan
+    # of df) — count scans in the full plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("Scan ExistingRDD") <= 2
