@@ -90,6 +90,45 @@ def synth_media(spark, n_rows: int = 200) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize contract: binary in -> binary out + updated typed meta.
+    The PIXEL transform is a STUB (deterministic byte fold — no codec libs
+    in this container; real deployment: PIL resize here); the Spark-side
+    plumbing is real: Arrow batch iterators over the binary column, output
+    schema (content + width/height meta), column pruning of untouched
+    metadata, one narrow pass."""
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_w, out_h = [], [], []
+            for content in pdf["content"]:
+                buf = bytes(content) if content is not None else b""
+                # STUB resample: fold/stretch bytes to the target size
+                # deterministically (real impl: decode -> resize -> encode)
+                if buf:
+                    reps = (target // len(buf)) + 1
+                    out = (buf * reps)[:target]
+                else:
+                    out = b"\x00" * target
+                out_content.append(out)
+                out_w.append(width)
+                out_h.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_content,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "content"
+    ).mapInPandas(kernel, "media_id long, kind string, content binary, width int, height int")
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling contract: one row per sampled frame offset.
     Decode is stubbed; the explode/plumbing (the Spark-side work) is real."""

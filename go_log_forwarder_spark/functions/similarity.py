@@ -606,6 +606,8 @@ def kmeans_int(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Trained IVF coarse quantizer: integer k-means over quantized vectors.
 
@@ -617,10 +619,22 @@ def kmeans_int(
     one broadcast-assign pass + one posexplode aggregation — no driver-side
     math; centroid arrays are rebuilt with a deterministic sort.
     Returns (cidx int, cv array<bigint>) after ``iters`` Lloyd steps.
+
+    ``train_fraction`` subsamples the TRAINING set (standard practice at
+    10^12 rows: Lloyd steps on a seed-deterministic sample, assignment of
+    the full corpus stays exact). Leave None when the quantizer must be
+    reproducible by an engine-independent oracle — Spark's sampler is not
+    portable.
     """
     qz = emb.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
     ).withColumn("norm2", int_dot(F.col("v"), F.col("v")))
+    if train_fraction is not None:
+        # seeds (first k by id) always stay in: init must not depend on the
+        # sample, or the oracle-visible k would drift
+        qz = qz.filter(F.col("id") < k).unionByName(
+            qz.filter(F.col("id") >= k).sample(fraction=train_fraction, seed=seed)
+        )
     qz = qz.localCheckpoint(eager=True)
     cents = (
         qz.filter(F.col("id") < k)

@@ -495,3 +495,11 @@ def test_tcp_chunks_property_reassembly(spark):
         got = sorted(by_src.get(src, []))
         assert [n for n, _ in got] == list(range(1, len(got) + 1))
         assert "".join(c for _, c in got) == body
+
+
+def test_multimodal_resize_plumbing(spark):
+    media = mm.synth_media(spark, 30)
+    out = mm.resize_images(media, width=8, height=4).collect()
+    assert len(out) == 10  # only the image rows
+    for r in out:
+        assert len(r["content"]) == 32 and (r["width"], r["height"]) == (8, 4)
