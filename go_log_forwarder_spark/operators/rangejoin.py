@@ -47,7 +47,10 @@ def range_join(
     p = points.withColumn("_bkt", F.floor(t / w))
     s = F.unix_micros(F.col(start_col).cast("timestamp"))
     e = F.unix_micros(F.col(end_col).cast("timestamp"))
-    iv = intervals.withColumn(
+    # empty/inverted intervals contain no point (half-open) — and would
+    # otherwise explode a DESCENDING bucket sequence (Spark sequence(5,3)
+    # counts down), assigning wrong buckets
+    iv = intervals.filter(e > s).withColumn(
         "_bkt",
         F.explode(F.sequence(F.floor(s / w), F.floor((e - 1) / w))),
     )

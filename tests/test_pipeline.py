@@ -241,8 +241,10 @@ def test_range_join_semantics(spark):
         "k string, t timestamp, pid long",
     )
     intervals = spark.createDataFrame(
-        # [0, 30) single-bucket; [60, 180) spans 3 hourly buckets
-        [("a", ts(0), ts(30), 10), ("a", ts(60), ts(180), 20)],
+        # [0, 30) single-bucket; [60, 180) spans 3 hourly buckets;
+        # [5, 5) is EMPTY (half-open) and must match nothing — and must not
+        # poison bucket assignment (sequence(5,3) descends in Spark)
+        [("a", ts(0), ts(30), 10), ("a", ts(60), ts(180), 20), ("a", ts(5), ts(5), 30)],
         "k string, s timestamp, e timestamp, iid long",
     )
     out = {
