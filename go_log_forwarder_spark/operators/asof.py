@@ -41,6 +41,9 @@ def as_of_join(
     (key, right_time) — pre-aggregate if it is not.
     """
     lcols = left.columns
+    clash = [c for c in payload_cols if c in lcols]
+    if clash:
+        raise ValueError(f"payload columns {clash} collide with left columns")
     l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
     for c in payload_cols:
         l = l.withColumn(c, F.lit(None))

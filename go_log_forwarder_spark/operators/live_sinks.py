@@ -68,14 +68,14 @@ def splunk_hec_sink(
         headers["Content-Encoding"] = "gzip"
 
     def handle_partition(rows) -> None:
-        buf: list[str] = []
-        buflen = 0
+        buf: list[bytes] = []
+        buflen = 0  # BYTES, not chars — the reference thresholds bytes.Buffer.Len()
 
         def flush() -> None:
             nonlocal buf, buflen
             if not buf:
                 return
-            body = ("[" + ",".join(buf) + "]").encode("utf-8")
+            body = b"[" + b",".join(buf) + b"]"
             if compress:
                 body = _gzip.compress(body)
             post(url, body, headers)
@@ -85,8 +85,9 @@ def splunk_hec_sink(
             p = r[payload_col]
             if p is None:
                 continue
-            buf.append(p)
-            buflen += len(p)
+            b = p.encode("utf-8")
+            buf.append(b)
+            buflen += len(b)
             if buflen > buffer_threshold:
                 flush()
         flush()  # K5: flush-on-shutdown — nothing stays buffered

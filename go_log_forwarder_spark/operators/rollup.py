@@ -33,6 +33,14 @@ def time_rollup(
     (name, base aggregate Column over raw rows, merge fn in sum|min|max).
     Returns one frame: (level, bucket, *keys, *agg names).
     """
+    _GRAIN = {"minute": 0, "hour": 1, "day": 2, "week": 3, "month": 4, "year": 5}
+    grains = [_GRAIN.get(lvl) for lvl in levels]
+    if None in grains or grains != sorted(grains) or len(set(grains)) != len(grains):
+        raise ValueError(f"levels must be strictly finest-to-coarsest from {sorted(_GRAIN)}; got {levels}")
+    if "week" in levels and levels[-1] != "week":
+        # weeks cross month/year boundaries: nothing truncate-nests FROM a
+        # week bucket, so week partials cannot feed a coarser level
+        raise ValueError(f"'week' must be the last level (it nests into nothing); got {levels}")
     for _, _, m in aggs:
         if m not in _MERGE:
             raise ValueError(f"unsupported merge {m!r}; decomposable merges: {sorted(_MERGE)}")

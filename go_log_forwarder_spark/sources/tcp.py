@@ -48,6 +48,8 @@ def tcp_chunks(
     Pure Catalyst: sequence + transform + posexplode — one narrow pass,
     no shuffle, no Python.
     """
+    if buffer_size < 1:
+        raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
     body = F.col(body_col)
     n = F.ceil(F.length(body) / F.lit(buffer_size)).cast("int")
     chunk_list = F.when(

@@ -300,3 +300,22 @@ def test_time_rollup_reuses_finer_level(spark):
     # of df) — count scans in the full plan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LocalRelation") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_operator_argument_guards(spark):
+    import datetime as dtm
+
+    from go_log_forwarder_spark.operators.asof import as_of_join
+    from go_log_forwarder_spark.operators.rollup import time_rollup
+    from go_log_forwarder_spark.sources.tcp import tcp_chunks
+
+    left = spark.createDataFrame([("a", 1, 2)], "k string, t long, rate long")
+    right = spark.createDataFrame([("a", 1, 3)], "k string, t long, rate long")
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, "k", "t", "t", ["rate"])
+    df = spark.createDataFrame([("x", "c")], "body string, remote_addr string")
+    with pytest.raises(ValueError, match="buffer_size"):
+        tcp_chunks(df, buffer_size=0)
+    ev = spark.createDataFrame([("a", dtm.datetime(2024, 1, 1), 1)], "k string, t timestamp, v long")
+    with pytest.raises(ValueError, match="finest-to-coarsest"):
+        time_rollup(ev, "t", ["k"], [("n", F.count(F.lit(1)), "sum")], levels=("day", "hour"))
