@@ -814,6 +814,24 @@ def q_windowed_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_top_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour heavy hitters: top-3 tags by kept-row count in each 1-hour
+    event-time window (rank over window buckets, deterministic tie-break by
+    tag) — the windowed top-k shape of streaming analytics."""
+    from pyspark.sql.window import Window
+
+    kept = _kept(spark, sf_dir)
+    counts = kept.groupBy(
+        F.date_trunc("hour", F.col("ingest_time")).alias("window_start"), "tag"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("tag"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "tag", "n", "rank")
+    )
+
+
 GROK_EXPR = "%{LOGLEVEL:level} id=%{INT:id} user=%{INT:user}"
 # LOGLEVEL alternation body (strip the (?: ... ) wrapper) for the oracle SQL
 _LOGLEVEL_RE = grok_to_regex("%{LOGLEVEL}")[3:-1]
@@ -1046,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
         "windowed_route_counts": q_windowed_route_counts,
+        "window_top_tags": q_window_top_tags,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "tokens_dedup_exact": q_tokens_dedup_exact,
         "token_bigrams_topk": q_token_bigrams_topk,
@@ -1306,6 +1325,23 @@ def oracle_sql() -> dict[str, str]:
             f"FROM kept WHERE {_sink_pred_sql(s)} GROUP BY window_start"
             for s in SINKS
         ),
+        "window_top_tags": _BASE_CTE.replace(
+            "FROM events",
+            ", date_trunc('hour', ts) AS window_start FROM events",
+        ).replace(
+            "SELECT event_id,",
+            "SELECT event_id, ts,",
+        )
+        + """
+            , counts AS (
+                SELECT window_start, tag, COUNT(*)::BIGINT AS n
+                FROM kept GROUP BY window_start, tag
+            )
+            SELECT window_start, tag, n,
+                   CAST(row_number() OVER (PARTITION BY window_start
+                        ORDER BY n DESC, tag) AS INT) AS rank
+            FROM counts QUALIFY rank <= 3
+        """,
         "dedup_embedding_cosine": _emb_pairs_sql(),
         "dedup_clusters": dd.dup_clusters_sql(_emb_pairs_sql()),
         "tokens_dedup_exact": _TOKENS_CTE

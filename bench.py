@@ -54,6 +54,7 @@ HEADLINE = [
     "tcp_chunks",
     "multimodal_features",
     "windowed_route_counts",
+    "window_top_tags",
     "sessionize",
     "asof_enrich",
     "range_join_windows",
