@@ -87,7 +87,7 @@ def main() -> None:
     # min-of-N per query: the host is heavily time-shared (identical runs
     # vary up to 30x — see BASELINE.md); the minimum is the least-interfered
     # estimate of the actual cost.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
