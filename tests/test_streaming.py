@@ -178,3 +178,68 @@ def test_tail_stream_trims_and_skips(spark, tmp_path):
     q.stop()
     rows = [r["raw"] for r in spark.sql("select raw from tail_rows").collect()]
     assert sorted(rows) == ["four", "one", "three"]  # CRLF trimmed, blank skipped
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """Sessions merge ACROSS micro-batches, close when a later event opens
+    the next session, and finalize via event-time timeout when the
+    watermark passes session end + gap."""
+    from pyspark.sql import types as T
+
+    from go_log_forwarder_spark.streaming.stateful import stream_sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, base + datetime.timedelta(seconds=s)) for u, s in rows], schema
+        )
+
+    indir = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    # batch 1: user 1 has two events 10s apart (one open session)
+    mk([(1, 0), (1, 10)]).coalesce(1).write.mode("append").parquet(indir)
+
+    stream = spark.readStream.schema(schema).parquet(indir)
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("select * from sessions").count() == 0  # still open
+
+    # batch 2: user 1 returns 1h later -> first session closes (gap split
+    # across BATCHES), second session opens
+    mk([(1, 3600)]).coalesce(1).write.mode("append").parquet(indir)
+    q.processAllAvailable()
+    rows = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    us = 1_000_000
+    t0 = int(base.timestamp()) * us
+    assert rows == {(1, t0, t0 + 10 * us, 2)}
+
+    # batch 3: a far-future event from user 2 advances the watermark past
+    # user 1's open session end + gap -> it finalizes via timeout
+    mk([(2, 3600 * 4)]).coalesce(1).write.mode("append").parquet(indir)
+    q.processAllAvailable()
+    # one more batch so the new watermark is applied to timeouts
+    mk([(2, 3600 * 4 + 1)]).coalesce(1).write.mode("append").parquet(indir)
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert (1, t0 + 3600 * us, t0 + 3600 * us, 1) in rows  # timed out
