@@ -709,6 +709,81 @@ def _rollup_oracle_sql() -> str:
     return per_level
 
 
+MIX_RATES = {  # the training-data mix over the skewed source distribution
+    "src-hot": 0.1,  # downsample the 60% crawl source hard
+    "src-a": 0.5,
+    "src-b": 1.0,
+    "src-c": 1.0,
+    # remaining sources intentionally absent -> dropped from the mix
+}
+
+
+def q_tokens_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data mixing: per-source hash-gate sampling
+    (reproducible on any engine/cluster — the oracle re-derives the exact
+    row set) + a reproducible shuffle position; per-source kept counts,
+    token totals and the md5 of the first-10 shuffle order digest."""
+    from go_log_forwarder_spark.functions import sampling as sp
+
+    toks = tokens_from_events(spark, sf_dir)
+    mixed = sp.mix_sample(toks, key_col="doc_id", group_col="source", rates=MIX_RATES)
+    pos = sp.shuffle_position(F.col("doc_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(pos, "doc_id")
+    ranked = mixed.withColumn("_rk", F.row_number().over(w))
+    # collect_list order is not guaranteed -> sort (rk, doc_id) structs
+    head10 = ranked.filter(F.col("_rk") <= 10).groupBy("source").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rk", "doc_id"))),
+                    lambda x: x.getField("doc_id"),
+                ),
+            )
+        ).alias("head10_md5")
+    )
+    stats = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_tok").cast("bigint")).cast("bigint").alias("sum_n_tok"),
+    )
+    return stats.join(head10, "source")
+
+
+def _mix_sample_oracle_sql() -> str:
+    from go_log_forwarder_spark.functions import sampling as sp
+
+    gate = sp.sample_gate_sql("doc_id")
+    thr = " ".join(
+        f"WHEN source = '{g}' THEN {int(frac * sp.HASH_SPACE)}"
+        for g, frac in sorted(MIX_RATES.items())
+    )
+    return (
+        _TOKENS_CTE
+        + f"""
+        , mixed AS (
+            SELECT *, {gate} AS pos FROM toks
+            WHERE {gate} < CASE {thr} ELSE 0 END
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_tok,
+                   row_number() OVER (PARTITION BY source ORDER BY pos, doc_id) AS rk
+            FROM mixed
+        ),
+        head10 AS (
+            SELECT source, md5(string_agg(doc_id, ',' ORDER BY rk)) AS head10_md5
+            FROM ranked WHERE rk <= 10 GROUP BY source
+        )
+        SELECT m.source, COUNT(*)::BIGINT AS n_kept,
+               CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok,
+               MAX(h.head10_md5) AS head10_md5
+        FROM mixed m JOIN head10 h ON h.source = m.source
+        GROUP BY m.source
+    """
+    )
+
+
 def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register state (novel-sketch component): distinct-user
     sketch per event_type — the register relation is exact integer/string
@@ -1060,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "range_join_windows": q_range_join_windows,
         "hll_user_sketch": q_hll_user_sketch,
+        "tokens_mix_sample": q_tokens_mix_sample,
         "rollup_hour_day_week": q_rollup_hour_day_week,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
@@ -1255,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": _asof_oracle_sql(),
         "range_join_windows": _range_join_oracle_sql(),
         "hll_user_sketch": sk.hll_registers_sql("events", "user_id", ["event_type"]),
+        "tokens_mix_sample": _mix_sample_oracle_sql(),
         "rollup_hour_day_week": _rollup_oracle_sql(),
         "sessionize": """
             WITH g AS (

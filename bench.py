@@ -64,6 +64,7 @@ HEADLINE = [
     "tokens_quality_filter",
     "tokens_pack_concat",
     "tokens_length_stats",
+    "tokens_mix_sample",
     "tokens_dedup_exact",
     "token_bigrams_topk",
     "dedup_embedding_cosine",

@@ -324,3 +324,22 @@ def test_hll_registers_and_estimate(spark):
         for b, v in registers.items():
             merged[b] = max(merged.get(b, 0), v)
     assert merged == all_regs
+
+
+def test_deterministic_sample_properties(spark):
+    from go_log_forwarder_spark.functions import sampling as sp
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    kept1 = {r["k"] for r in sp.deterministic_sample(df, "k", 0.25).collect()}
+    # same rows regardless of partitioning (the whole point vs df.sample)
+    kept2 = {r["k"] for r in sp.deterministic_sample(df.repartition(13), "k", 0.25).collect()}
+    assert kept1 == kept2
+    # rate lands near the target (md5 uniformity; 4 sigma ~ 1.2%)
+    assert 0.23 <= len(kept1) / 20000 <= 0.27
+    # different seeds select (near-)independent row sets
+    kept_b = {r["k"] for r in sp.deterministic_sample(df, "k", 0.25, seed="s1").collect()}
+    overlap = len(kept1 & kept_b) / 20000
+    assert 0.04 <= overlap <= 0.09  # ~ 0.25*0.25
+    # nested fractions: a 10% gate is a subset of the 25% gate (same seed)
+    kept_10 = {r["k"] for r in sp.deterministic_sample(df, "k", 0.10).collect()}
+    assert kept_10 <= kept1
