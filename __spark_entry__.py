@@ -1053,6 +1053,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search (memory-compressed ANN): corpus vectors live as S
+    codeword ids; queries score via S exact-int table lookups — the float
+    corpus is never touched at query time."""
+    emb = _embeddings(spark, sf_dir)
+    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), topk=10)
+
+
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search against a TRAINED coarse quantizer: 2 integer Lloyd
     iterations (sim.kmeans_int — deterministic, engine-portable), then the
@@ -1127,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "dedup_clusters": q_dedup_clusters,
         "tokens_quality_filter": q_tokens_quality_filter,
         "tokens_pack_concat": q_tokens_pack_concat,
@@ -1296,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_ivf_topk": sim.ivf_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_ivf_trained_topk": sim.ivf_trained_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "ann_pq_topk": sim.pq_adc_topk_sql("embeddings", "id < 3"),
         "tokens_quality_filter": _TOKENS_CTE
         + f"""
             , scored AS (

@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
+    "ann_pq_topk",
     "tcp_chunks",
     "multimodal_features",
     "windowed_route_counts",

@@ -501,6 +501,155 @@ def ivf_topk_sql(
     """
 
 
+# --- PQ (product quantization) -----------------------------------------------
+
+PQ_S = 4  # subspaces
+PQ_K = 8  # codewords per subspace
+
+
+def _pq_subs(qz: DataFrame, S: int) -> DataFrame:
+    """(id, s, sub): quantized vectors split into S equal sub-blocks."""
+    width = (F.size(F.col("v")) / S).cast("int")
+    sub_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(S - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.slice(F.col("v"), s * width + 1, width).alias("sub"),
+        ),
+    )
+    return qz.select("id", F.explode(sub_structs).alias("x")).select(
+        "id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
+    )
+
+
+def _pq_cents(subs: DataFrame, k: int) -> DataFrame:
+    """Per-subspace codebook: the first k vectors' sub-blocks (seed
+    codewords — deterministic and oracle-reproducible, like ivf_assign;
+    kmeans_int per subspace slots into the same shape)."""
+    return (
+        subs.filter(F.col("id") < k)
+        .select(F.col("id").cast("int").alias("cidx"), "s", F.col("sub").alias("csub"))
+        .withColumn("cn", int_dot(F.col("csub"), F.col("csub")))
+    )
+
+
+def pq_encode(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    S: int = PQ_S, k: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization codes — the memory-compression layer of a
+    production ANN index: each vector stores S small codeword ids instead
+    of its floats (here 4 bytes vs 256). Assignment = per-subspace exact-int
+    L2 argmin (ties to the lower codeword), one broadcast join + window.
+    Returns (id, codes array<int>[S])."""
+    qz = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    subs = _pq_subs(qz, S)
+    cents = _pq_cents(subs, k)
+    joined = subs.join(F.broadcast(cents), "s").withColumn(
+        "dist",
+        int_dot(F.col("sub"), F.col("sub"))
+        + F.col("cn")
+        - 2 * int_dot(F.col("sub"), F.col("csub")),
+    )
+    w = Window.partitionBy("id", "s").orderBy(F.asc("dist"), F.asc("cidx"))
+    assigned = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return assigned.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", F.col("cidx").alias("code")))),
+            lambda e: e.getField("code"),
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    S: int = PQ_S,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    S x k lookup table of exact-int sub-dot-products against the codebook;
+    a document's approximate dot product is the sum of S table lookups of
+    its codes — the corpus floats are never touched at query time. Emits
+    (query_id, neighbor_id, approx_dot, rank)."""
+    qz = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    subs = _pq_subs(qz, S)
+    cents = _pq_cents(subs, k)
+    codes = pq_encode(emb, id_col, vec_col, S, k).select(
+        "id", F.posexplode(F.col("codes")).alias("s", "code")
+    )
+    q_subs = subs.join(
+        queries.select(F.col(id_col).alias("id")), "id", "left_semi"
+    ).withColumnRenamed("id", "query_id")
+    lut = q_subs.join(F.broadcast(cents), "s").select(
+        "query_id", "s", F.col("cidx").alias("code"),
+        int_dot(F.col("sub"), F.col("csub")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("part").cast("bigint").alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
+def pq_adc_topk_sql(
+    table: str, query_pred: str, topk: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    S: int = PQ_S, k: int = PQ_K,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk` (long-form codes, no array
+    rebuild needed)."""
+    width = f"CAST(len(v) / {S} AS INT)"
+    slices = (
+        f"[list_slice(v, i * {width} + 1, (i + 1) * {width})"
+        f" for i in generate_series(0, {S - 1})]"
+    )
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(d.sub)), i -> d.sub[i] * d.sub[i]))"
+        " + c.cn - 2 * list_sum(list_transform(generate_series(1, len(d.sub)), i -> d.sub[i] * c.csub[i]))"
+    )
+    return f"""
+        WITH qz AS (SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v FROM {table}),
+        sub AS (
+            SELECT id, unnest(generate_series(0, {S - 1})) AS s, unnest({slices}) AS sub
+            FROM qz
+        ),
+        cents AS (
+            SELECT CAST(id AS INT) AS cidx, s, sub AS csub,
+                   {_dot_sql('sub', 'sub')} AS cn
+            FROM sub WHERE id < {k}
+        ),
+        assigned AS (
+            SELECT id, s, cidx AS code FROM (
+                SELECT d.id, d.s, c.cidx,
+                       row_number() OVER (PARTITION BY d.id, d.s ORDER BY {dist}, c.cidx) AS rn
+                FROM sub d JOIN cents c USING (s)
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.id AS query_id, c.s, c.cidx AS code,
+                   {_dot_sql('q.sub', 'c.csub')} AS part
+            FROM sub q JOIN cents c USING (s)
+            WHERE q.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
+        ),
+        scored AS (
+            SELECT l.query_id, a.id AS neighbor_id, CAST(SUM(l.part) AS BIGINT) AS approx_dot
+            FROM assigned a JOIN lut l ON l.s = a.s AND l.code = a.code
+            WHERE a.id <> l.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_dot,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= {topk}
+    """
+
+
 def kmeans_cte_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = IVF_K, iters: int = 2,

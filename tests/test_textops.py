@@ -343,3 +343,24 @@ def test_deterministic_sample_properties(spark):
     # nested fractions: a 10% gate is a subset of the 25% gate (same seed)
     kept_10 = {r["k"] for r in sp.deterministic_sample(df, "k", 0.10).collect()}
     assert kept_10 <= kept1
+
+
+def test_pq_encode_and_adc(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {r["id"]: r["codes"] for r in sim.pq_encode(emb, S=4, k=8).collect()}
+    assert len(codes) == 80
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+    # a codebook vector encodes to ITSELF in every subspace (distance 0)
+    assert codes[3] == [3, 3, 3, 3]
+    # ADC approximates the exact dot: the query's true nearest neighbors
+    # should be mostly recovered in the ADC top-10 (coarse 8-codeword
+    # codebook -> require >= 4/10 overlap, far above the ~1.3 chance level)
+    adc = sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") == 50), topk=10, S=4, k=8)
+    adc_ids = {r["neighbor_id"] for r in adc.collect()}
+    exact = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 50), k=10)
+    exact_ids = {r["neighbor_id"] for r in exact.collect()}
+    assert len(adc_ids & exact_ids) >= 4
