@@ -1,0 +1,68 @@
+"""Output compaction: rewrite a parquet directory into ~target-sized files.
+
+Log pipelines produce many small files (per-batch, per-sink, per-unit
+appends); at 10^12-row scale the resulting file-count explosion dominates
+scan planning and metadata costs (the classic small-files problem —
+Iceberg's rewrite_data_files is the managed-table analog). This operator
+measures the directory's actual on-disk bytes, picks
+``ceil(bytes / target)`` output files, and rewrites atomically
+(write to a temp dir, swap via rename) so readers never observe a
+half-compacted directory.
+
+The file count comes from real sizes, not row counts — compression ratios
+vary wildly across columns/corpora, so sizing by rows under- or
+over-shoots by 10x.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_MB = 128
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_mb: int = DEFAULT_TARGET_MB
+) -> dict:
+    """Rewrite ``path`` into ceil(bytes/target) parquet files. Returns
+    {files_before, files_after, bytes}. Atomic swap: the compacted output
+    lands in a sibling temp dir and replaces ``path`` with two renames."""
+    before = [
+        f
+        for _root, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = dir_bytes(path)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # coalesce avoids a shuffle when reducing file count (the common case);
+    # repartition only when we must INCREASE parallelism
+    df = spark.read.parquet(path)
+    writer = df.coalesce(n_out) if n_out <= df.rdd.getNumPartitions() else df.repartition(n_out)
+    writer.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for _root, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {"files_before": len(before), "files_after": len(after), "bytes": total}

@@ -319,3 +319,21 @@ def test_operator_argument_guards(spark):
     ev = spark.createDataFrame([("a", dtm.datetime(2024, 1, 1), 1)], "k string, t timestamp, v long")
     with pytest.raises(ValueError, match="finest-to-coarsest"):
         time_rollup(ev, "t", ["k"], [("n", F.count(F.lit(1)), "sum")], levels=("day", "hour"))
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from go_log_forwarder_spark.operators.compaction import compact_parquet_dir
+
+    path = str(tmp_path / "many_small")
+    # 40 tiny files
+    spark.range(40000).withColumn("payload", F.md5(F.col("id").cast("string"))) \
+        .repartition(40).write.parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(r["id"] for r in before.select("id").collect())
+
+    stats = compact_parquet_dir(spark, path, target_mb=1)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40  # sized by real bytes, tiny corpus -> few files
+    after = spark.read.parquet(path)
+    assert sorted(r["id"] for r in after.select("id").collect()) == before_rows
+    assert after.schema == before.schema
