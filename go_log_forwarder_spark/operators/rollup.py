@@ -46,7 +46,7 @@ def time_rollup(
             raise ValueError(f"unsupported merge {m!r}; decomposable merges: {sorted(_MERGE)}")
     out = None
     cur = None
-    for lvl in levels:
+    for i, lvl in enumerate(levels):
         if cur is None:
             cur = df.groupBy(
                 F.date_trunc(lvl, F.col(time_col)).alias("bucket"), *keys
@@ -55,6 +55,13 @@ def time_rollup(
             cur = cur.groupBy(
                 F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *keys
             ).agg(*[_MERGE[m](n).alias(n) for n, _, m in aggs])
+        if i < len(levels) - 1:
+            # materialize every non-final level: each union branch would
+            # otherwise RE-SCAN the raw input (no cross-branch exchange
+            # reuse — distinct attribute ids), defeating the whole point.
+            # In production each level is its own table; here the cache
+            # plays that role within the single action.
+            cur = cur.persist()
         lev = cur.select(F.lit(lvl).alias("level"), "bucket", *keys, *[n for n, _, _ in aggs])
         out = lev if out is None else out.unionByName(lev)
     return out

@@ -295,11 +295,11 @@ def test_time_rollup_reuses_finer_level(spark):
     assert rows[("day", dtm.datetime(2024, 1, 1), "a")] == (2, 5)
     assert rows[("day", dtm.datetime(2024, 1, 2), "a")] == (1, 7)
     assert rows[("day", dtm.datetime(2024, 1, 1), "b")] == (1, 11)
-    # the day level consumes the hour level's aggregate, never the raw rows:
-    # its plan nests a second HashAggregate over the first (no second scan
-    # of df) — count scans in the full plan
+    # the day level consumes the hour level's MATERIALIZED aggregate, never
+    # the raw rows: non-final levels are persisted (each union branch would
+    # otherwise re-scan the input)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("LocalRelation") + plan.count("Scan ExistingRDD") <= 2
+    assert "InMemoryRelation" in plan
 
 
 def test_operator_argument_guards(spark):
