@@ -355,6 +355,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 200  # characters per chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap (RAG / pretraining window prep):
+    fixed-length character windows at a fixed stride, last partial window
+    kept. Pure Catalyst (sequence+transform+posexplode), zero shuffle —
+    per-chunk rows (doc_id, chunk_idx, chunk_md5, chunk_len)."""
+    d = _documents(spark, sf_dir)
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - CHUNK_LEN) / CHUNK_STRIDE) + 1, F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col("text").substr(i * CHUNK_STRIDE + 1, F.lit(CHUNK_LEN)),
+    )
+    return d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.length("chunk").cast("int").alias("chunk_len"),
+    )
+
+
+DECON_BENCH_MOD = 29  # every 29th doc plays the held-out benchmark set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY word
+    8-gram with the (broadcast) benchmark set — distinct shingle hashes +
+    semi-join, one corpus scan, no pairwise comparison."""
+    d = _documents(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return dd.decontaminate(d, bench)
+
+
 def q_text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality score: two-pass word-count + shuffle-join
     re-aggregation (ts.doc_freq_score) — integer-exact until the final
@@ -1125,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "text_doc_freq": q_text_doc_freq,
+        "doc_chunks_overlap": q_doc_chunks_overlap,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1282,6 +1321,23 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(ts.fingerprint_sql("text"))
         + " FROM documents",
         "text_doc_freq": ts.doc_freq_score_sql("documents"),
+        "doc_chunks_overlap": f"""
+            WITH sized AS (
+                SELECT doc_id, text,
+                       GREATEST(CAST(ceil((length(text) - {CHUNK_LEN}) / {CHUNK_STRIDE}.0) AS INT) + 1, 1) AS n
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, n - 1)) AS INT) AS chunk_idx,
+                   unnest([md5(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_LEN}))
+                           for i in generate_series(0, n - 1)]) AS chunk_md5,
+                   unnest([CAST(length(substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS INT)
+                           for i in generate_series(0, n - 1)]) AS chunk_len
+            FROM sized
+        """,
+        "decontaminate": dd.decontaminate_sql(
+            "documents", f"doc_id % {DECON_BENCH_MOD} = 0"
+        ),
         "dedup_exact": dd.exact_dedup_sql("documents"),
         "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),

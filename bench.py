@@ -45,6 +45,8 @@ HEADLINE = [
     "text_lang_id",
     "doc_fingerprint",
     "text_doc_freq",
+    "doc_chunks_overlap",
+    "decontaminate",
     "dedup_exact",
     "dedup_simhash",
     "ann_cosine_topk",

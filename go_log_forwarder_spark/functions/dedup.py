@@ -355,6 +355,89 @@ def simhash_pairs_sql(
     """
 
 
+DECON_NGRAM = 8  # benchmark-decontamination shingle width (words)
+
+
+def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, h): distinct hex60 hashes of each doc's word n-grams. Docs
+    shorter than n words contribute nothing (no n-gram exists)."""
+    with_words = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("_ws"))
+    grams = F.when(
+        F.size(F.col("_ws")) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_ws")) - n + 1),
+            lambda i: hex60_col(
+                F.array_join(F.slice(F.col("_ws"), i, n), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return with_words.select("id", F.explode(grams).alias("h")).distinct()
+
+
+def _ngram_hashes_sql(table: str, n: int, text_col: str, id_col: str) -> str:
+    ws = words_sql(text_col)
+    gram = hex60_sql(f"array_to_string(w[i : i + {n - 1}], ' ')")
+    return f"""
+        SELECT DISTINCT id, h FROM (
+            SELECT {id_col} AS id,
+                   unnest([{gram} for i in generate_series(1, len(w) - {n - 1})]) AS h
+            FROM (SELECT {id_col}, {ws} AS w FROM {table})
+            WHERE len(w) >= {n}
+        )
+    """
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the train/test-overlap gate every
+    training pipeline needs): flag every doc sharing ANY word ``n``-gram
+    with the benchmark set. The standard scale shape: both sides reduce to
+    distinct shingle hashes (map-side), the benchmark side is tiny and
+    broadcast, the check is a semi-join — corpus text is scanned once and
+    never pairwise-compared. Returns (doc_id, n_hits, contaminated)."""
+    dg = _ngram_hashes(docs, n, text_col, id_col)
+    bg = _ngram_hashes(benchmark, n, text_col, id_col).select("h").distinct()
+    hits = dg.join(F.broadcast(bg), "h").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str, benchmark_pred: str, n: int = DECON_NGRAM,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the benchmark set is ``table`` rows matching
+    ``benchmark_pred`` (mirroring a driver-side benchmark table)."""
+    return f"""
+        WITH dg AS ({_ngram_hashes_sql(table, n, text_col, id_col)}),
+        bg AS (
+            SELECT DISTINCT h FROM ({_ngram_hashes_sql(
+                f"(SELECT * FROM {table} WHERE {benchmark_pred})", n, text_col, id_col)})
+        ),
+        hits AS (
+            SELECT id, COUNT(*) AS n_hits FROM dg JOIN bg USING (h) GROUP BY id
+        )
+        SELECT d.{id_col},
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM {table} d LEFT JOIN hits h ON h.id = d.{id_col}
+    """
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Near-dup clustering: connected components over a pair relation
     (id_a, id_b) via iterative min-label propagation — the dedup step that

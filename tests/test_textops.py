@@ -364,3 +364,19 @@ def test_pq_encode_and_adc(spark):
     exact = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 50), k=10)
     exact_ids = {r["neighbor_id"] for r in exact.collect()}
     assert len(adc_ids & exact_ids) >= 4
+
+
+def test_decontaminate(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    bench = mk([(100, "the quick brown fox jumps over the lazy dog tonight")])
+    docs = mk([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # exact copy
+        (2, "intro text then the quick brown fox jumps over the lazy dog and more"),  # embedded 8-gram
+        (3, "completely different words that share nothing at all with it"),  # clean
+        (4, "too short to have an eight gram"),  # 7 words -> no 8-gram
+    ])
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in dd.decontaminate(docs, bench).collect()}
+    assert out[1][1] and out[1][0] >= 3  # shares all benchmark 8-grams
+    assert out[2] == (2, True)  # 'the quick...lazy dog' = two sliding 8-grams
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
