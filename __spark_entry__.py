@@ -355,6 +355,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REDACT_MOD = 7  # every 7th synthetic line carries an email + a url
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (curation gate): emails/urls replaced with typed
+    placeholders via a fixed-order regexp_replace chain — patterns chosen
+    to parse identically under java.util.regex and RE2, so the full
+    redacted text is value-hash-gated per row."""
+    ev = _events(spark, sf_dir)
+    line = F.when(
+        F.col("event_id") % REDACT_MOD == 0,
+        F.concat(
+            F.lit("contact u"), F.col("user_id").cast("string"),
+            F.lit("@example.com or https://ex.io/p/"),
+            F.col("event_id").cast("string"), F.lit(" now"),
+        ),
+    ).otherwise(F.concat(F.col("event_type"), F.lit(" plain "), F.col("event_id").cast("string")))
+    return ev.select("event_id", ts.redact_col(line).alias("redacted"))
+
+
 CHUNK_LEN = 200  # characters per chunk
 CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
 
@@ -1163,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "text_doc_freq": q_text_doc_freq,
         "doc_chunks_overlap": q_doc_chunks_overlap,
+        "text_redact": q_text_redact,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1321,6 +1342,16 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(ts.fingerprint_sql("text"))
         + " FROM documents",
         "text_doc_freq": ts.doc_freq_score_sql("documents"),
+        "text_redact": f"""
+            SELECT event_id,
+                   {ts.redact_sql(
+                       "CASE WHEN event_id % " + str(REDACT_MOD) + " = 0 "
+                       "THEN 'contact u' || CAST(user_id AS VARCHAR) || "
+                       "'@example.com or https://ex.io/p/' || CAST(event_id AS VARCHAR) || ' now' "
+                       "ELSE event_type || ' plain ' || CAST(event_id AS VARCHAR) END"
+                   )} AS redacted
+            FROM events
+        """,
         "doc_chunks_overlap": f"""
             WITH sized AS (
                 SELECT doc_id, text,

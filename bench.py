@@ -47,6 +47,7 @@ HEADLINE = [
     "text_doc_freq",
     "doc_chunks_overlap",
     "decontaminate",
+    "text_redact",
     "dedup_exact",
     "dedup_simhash",
     "ann_cosine_topk",

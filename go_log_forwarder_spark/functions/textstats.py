@@ -27,6 +27,36 @@ STOPWORDS = {
 BPE_ISH_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"  # word | digit | other-symbol
 
 
+# PII scrubbing patterns — deliberately simple character-class regexes that
+# parse identically under java.util.regex (Spark) and RE2 (DuckDB); no
+# backrefs, no lookaround.
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def redact_col(text, order=("email", "url")):
+    """Replace PII spans with <KIND> placeholders, in a fixed pattern order
+    (emails before urls: an email inside a url query-string would otherwise
+    change depending on order). Pure Catalyst regexp_replace chain."""
+    from pyspark.sql import functions as F
+
+    out = text
+    for kind in order:
+        out = F.regexp_replace(out, REDACT_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def redact_sql(text_expr: str, order=("email", "url")) -> str:
+    out = text_expr
+    for kind in order:
+        # DuckDB single-quoted strings keep backslashes literal — the RE2
+        # pattern text is identical to the Java one, no re-escaping
+        out = f"regexp_replace({out}, '{REDACT_PATTERNS[kind]}', '<{kind.upper()}>', 'g')"
+    return out
+
+
 def doc_freq_score(df, text_col: str = "text", id_col: str = "doc_id"):
     """Corpus-frequency quality score (training-data curation signal): for
     each doc, the mean corpus frequency of its word OCCURRENCES — high =

@@ -380,3 +380,23 @@ def test_decontaminate(spark):
     assert out[2] == (2, True)  # 'the quick...lazy dog' = two sliding 8-grams
     assert out[3] == (0, False)
     assert out[4] == (0, False)
+
+
+def test_redact_col(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at bob.smith+x@corp.example.org please",),
+            ("see https://a.io/p?q=1 and http://b.co",),
+            ("email inside url https://x.io/u?e=a@b.com tail",),
+            ("nothing here",),
+        ],
+        "t string",
+    )
+    out = [r["r"] for r in df.select(ts.redact_col(F.col("t")).alias("r")).collect()]
+    assert out[0] == "mail me at <EMAIL> please"
+    assert out[1] == "see <URL> and <URL>"
+    # fixed order: the email INSIDE the url redacts first; the url pattern
+    # then swallows the placeholder with the rest of the url — either way
+    # the address text is gone
+    assert out[2] == "email inside url <URL> tail" and "a@b.com" not in out[2]
+    assert out[3] == "nothing here"
