@@ -400,3 +400,19 @@ def test_redact_col(spark):
     # the address text is gone
     assert out[2] == "email inside url <URL> tail" and "a@b.com" not in out[2]
     assert out[3] == "nothing here"
+
+
+def test_mix_sample_rates_and_absent_groups(spark):
+    from go_log_forwarder_spark.functions import sampling as sp
+
+    df = spark.range(9000).select(
+        F.col("id").cast("string").alias("k"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")), (F.col("id") % 3 + 1).cast("int")
+        ).alias("g"),
+    )
+    out = sp.mix_sample(df, "k", "g", {"a": 1.0, "b": 0.2})
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 3000  # rate 1.0 keeps everything
+    assert 480 <= counts["b"] <= 720  # ~20% of 3000
+    assert "c" not in counts  # absent from the mix -> dropped
