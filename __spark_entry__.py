@@ -355,6 +355,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition: most-frequent-bigram occupancy
+    per doc (boilerplate filter signal) — exact ints, two partial-agg
+    shuffles, never a self-join."""
+    return ts.repetition_stats(_documents(spark, sf_dir))
+
+
 REDACT_MOD = 7  # every 7th synthetic line carries an email + a url
 
 
@@ -1184,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_freq": q_text_doc_freq,
         "doc_chunks_overlap": q_doc_chunks_overlap,
         "text_redact": q_text_redact,
+        "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1342,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(ts.fingerprint_sql("text"))
         + " FROM documents",
         "text_doc_freq": ts.doc_freq_score_sql("documents"),
+        "text_repetition": ts.repetition_stats_sql("documents"),
         "text_redact": f"""
             SELECT event_id,
                    {ts.redact_sql(

@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_chunks_overlap",
     "decontaminate",
     "text_redact",
+    "text_repetition",
     "dedup_exact",
     "dedup_simhash",
     "ann_cosine_topk",

@@ -57,6 +57,71 @@ def redact_sql(text_expr: str, order=("email", "url")) -> str:
     return out
 
 
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/C4-style intra-document repetition signals (public filters:
+    Rae et al. 2021 §A1.1): per doc, the count of its MOST FREQUENT word
+    bigram and the (micro fixed-point) fraction of bigram slots it
+    occupies — highly repetitive boilerplate scores near 1. All integer
+    counts until one final division. Explode -> per-(doc,bigram) count ->
+    per-doc max: two partial-aggregated shuffles on (doc_id[, bigram]),
+    never a self-join. Returns (doc_id, n_bigrams, top_bigram_n,
+    top_bigram_micro); docs with < 2 words emit 0/0/0."""
+    from pyspark.sql import functions as F
+
+    ws = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("_ws"))
+    grams = F.when(
+        F.size(F.col("_ws")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_ws")) - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("_ws"), i), F.lit(" "), F.element_at(F.col("_ws"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        ws.select("id", F.explode(grams).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
+            F.coalesce(
+                micro_col(F.col("top_bigram_n").cast("double") / F.col("n_bigrams")),
+                F.lit(0),
+            ).cast("bigint").alias("top_bigram_micro"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    ws = words_sql(text_col)
+    return f"""
+        WITH w AS (SELECT {id_col} AS id, {ws} AS ws FROM {table}),
+        grams AS (
+            SELECT id, unnest([ws[i] || ' ' || ws[i+1]
+                               for i in generate_series(1, len(ws) - 1)]) AS g
+            FROM w WHERE len(ws) >= 2
+        ),
+        per_gram AS (SELECT id, g, COUNT(*) AS c FROM grams GROUP BY id, g),
+        per_doc AS (
+            SELECT id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n FROM per_gram GROUP BY id
+        )
+        SELECT d.{id_col},
+               CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(p.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+               CAST(COALESCE({micro_sql('CAST(p.top_bigram_n AS DOUBLE) / p.n_bigrams')}, 0) AS BIGINT) AS top_bigram_micro
+        FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+    """
+
+
 def doc_freq_score(df, text_col: str = "text", id_col: str = "doc_id"):
     """Corpus-frequency quality score (training-data curation signal): for
     each doc, the mean corpus frequency of its word OCCURRENCES — high =

@@ -416,3 +416,19 @@ def test_mix_sample_rates_and_absent_groups(spark):
     assert counts["a"] == 3000  # rate 1.0 keeps everything
     assert 480 <= counts["b"] <= 720  # ~20% of 3000
     assert "c" not in counts  # absent from the mix -> dropped
+
+
+def test_repetition_stats_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),  # 'spam ham' x3 of 5 bigrams
+            (2, "all words completely distinct here"),  # every bigram once
+            (3, "word"),  # < 2 words -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ts.repetition_stats(df).collect()}
+    assert (out[1]["n_bigrams"], out[1]["top_bigram_n"]) == (5, 3)
+    assert out[1]["top_bigram_micro"] == 600000  # 3/5
+    assert (out[2]["n_bigrams"], out[2]["top_bigram_n"]) == (4, 1)
+    assert (out[3]["n_bigrams"], out[3]["top_bigram_n"], out[3]["top_bigram_micro"]) == (0, 0, 0)
