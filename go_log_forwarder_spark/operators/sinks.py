@@ -27,8 +27,6 @@ Parity notes:
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
