@@ -57,3 +57,23 @@ def shuffle_position(key: Column, seed: str = "s0") -> Column:
 
 def sample_gate_sql(key_expr: str, seed: str = "s0") -> str:
     return hex60_sql(f"'{seed}:' || CAST({key_expr} AS VARCHAR)")
+
+
+def quota_sample(
+    df: DataFrame, key_col: str, group_col: str, n_per_group: int, seed: str = "s0"
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per group (fewer when the group is
+    smaller), selected by hash order — the deterministic stratified-head
+    mixing mode (vs :func:`mix_sample`'s rate mode). Plans as a
+    WindowGroupLimit (per-partition top-n before the shuffle), so the full
+    sort of each group never happens."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        shuffle_position(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= n_per_group)
+        .drop("_qr")
+    )

@@ -432,3 +432,21 @@ def test_repetition_stats_golden(spark):
     assert out[1]["top_bigram_micro"] == 600000  # 3/5
     assert (out[2]["n_bigrams"], out[2]["top_bigram_n"]) == (4, 1)
     assert (out[3]["n_bigrams"], out[3]["top_bigram_n"], out[3]["top_bigram_micro"]) == (0, 0, 0)
+
+
+def test_quota_sample(spark):
+    from go_log_forwarder_spark.functions import sampling as sp
+
+    df = spark.range(3000).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = sp.quota_sample(df, "k", "g", 50)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"0": 50, "1": 50, "2": 50}
+    # deterministic: identical selection under different partitioning
+    a = {r["k"] for r in out.collect()}
+    b = {r["k"] for r in sp.quota_sample(df.repartition(17), "k", "g", 50).collect()}
+    assert a == b
+    # plan: WindowGroupLimit prunes per-partition before the shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
