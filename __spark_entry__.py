@@ -1032,9 +1032,36 @@ def _multimodal_oracle_sql() -> str:
     """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame offset,
+    derived from the (stub-decoded but deterministic) duration — the
+    explode contract is hash-gated even with codecs stubbed."""
+    n = _events(spark, sf_dir).count()
+    media = mm.synth_media(spark, min(n, 2000))
+    return mm.frame_sample(media, every_ms=100)
+
+
+def _multimodal_frames_oracle_sql() -> str:
+    # video rows: media_id % 3 == 2; payload length 78 -> duration 780ms ->
+    # offsets 0,100,...,700 (sequence stops at duration-1)
+    return """
+        WITH media AS (
+            SELECT i AS media_id,
+                   length('media-payload-' || sha256(CAST(i AS VARCHAR))) * 10 AS duration_ms
+            FROM (SELECT unnest(generate_series(0,
+                    CAST(LEAST((SELECT COUNT(*) FROM events), 2000) AS BIGINT) - 1)) AS i)
+            WHERE i % 3 = 2
+        )
+        SELECT media_id,
+               CAST(unnest(generate_series(0, GREATEST(duration_ms - 1, 0), 100)) AS INT) AS frame_offset_ms
+        FROM media
+    """
+
+
 def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming variant (foreachBatch over a file-source stream) of the
-    per-sink counter. Rows-only check (not SQL-expressible)."""
+    per-sink counter. Rows-only driver check (streaming is not
+    SQL-expressible), but the query self-asserts stream == batch counts."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -1063,6 +1090,12 @@ def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:  # noqa: BLE001 — sink matched no rows, no dir
             cnt = 0
         dfs.append((s.name, cnt))
+    # rows-only driver check, so self-assert the strong invariant inline:
+    # the streaming fan-out must equal the BATCH per-sink counts exactly
+    batch = {
+        r["sink_name"]: r["n"] for r in per_sink_counts(_kept(spark, sf_dir), SINKS).collect()
+    }
+    assert dict(dfs) == batch, f"stream/batch count divergence: {dfs} vs {batch}"
     return spark.createDataFrame(dfs, "sink_name string, n long")
 
 
@@ -1223,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams_topk": q_token_bigrams_topk,
         "grok_parse_groups": q_grok_parse_groups,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "stream_route_counts": q_stream_route_counts,
         "resume_lineage_metrics": q_resume_lineage_metrics,
     }
@@ -1562,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed GROUP BY level
         """,
         "multimodal_features": _multimodal_oracle_sql(),
+        "multimodal_frames": _multimodal_frames_oracle_sql(),
         # stream_route_counts / resume_lineage_metrics: intentionally no
         # oracle (streaming / stateful resume are not SQL-expressible) ->
         # driver records rows-only checks.

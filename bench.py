@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_pq_topk",
     "tcp_chunks",
     "multimodal_features",
+    "multimodal_frames",
     "windowed_route_counts",
     "window_top_tags",
     "sessionize",
