@@ -703,19 +703,29 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     left = ev.select("event_id", "event_type", "ts")
+    # two payload columns, one NULLable: pins the struct-carry semantics —
+    # a NULL field in the LATEST matching right row must stay NULL, never
+    # back-fill from an older right row (ADVICE r2)
     changes = (
         ev.filter(F.col("event_id") % ASOF_CHANGE_MOD == 0)
         .groupBy("event_type", "ts")
         .agg(F.max(F.col("event_id") % 1000).cast("bigint").alias("rate"))
+        .withColumn(
+            "note",
+            F.when(F.col("rate") % 3 != 0, F.concat(F.lit("n"), F.col("rate").cast("string"))),
+        )
     )
     joined = as_of_join(
         left, changes, key="event_type", left_time="ts", right_time="ts",
-        payload_cols=["rate"],
+        payload_cols=["rate", "note"],
     )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rate").cast("bigint").alias("sum_rate"),
         F.sum(F.col("rate").isNull().cast("long")).alias("n_no_rate"),
+        F.sum((F.col("rate").isNotNull() & F.col("note").isNull()).cast("long")).alias(
+            "n_matched_null_note"
+        ),
     )
 
 
@@ -724,17 +734,21 @@ def _asof_oracle_sql() -> str:
 
     left_sql = "SELECT event_id, event_type, ts FROM events"
     right_sql = (
+        f"SELECT event_type, ts, rate, "
+        f"CASE WHEN rate % 3 <> 0 THEN 'n' || CAST(rate AS VARCHAR) END AS note FROM ("
         f"SELECT event_type, ts, CAST(MAX(event_id % 1000) AS BIGINT) AS rate "
-        f"FROM events WHERE event_id % {ASOF_CHANGE_MOD} = 0 GROUP BY event_type, ts"
+        f"FROM events WHERE event_id % {ASOF_CHANGE_MOD} = 0 GROUP BY event_type, ts)"
     )
     asof = as_of_join_sql(
         left_sql, right_sql, key="event_type", left_time="ts", right_time="ts",
-        payload_cols=["rate"], left_cols=["event_id", "event_type", "ts"],
+        payload_cols=["rate", "note"], left_cols=["event_id", "event_type", "ts"],
     )
     return f"""
         SELECT event_type, COUNT(*)::BIGINT AS n,
                CAST(SUM(rate) AS BIGINT) AS sum_rate,
-               CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_rate
+               CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_rate,
+               CAST(SUM(CASE WHEN rate IS NOT NULL AND note IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_matched_null_note
         FROM ({asof}) GROUP BY event_type
     """
 

@@ -452,6 +452,8 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     recursive-closure oracle on long duplicate chains.
     Returns (id, cluster_id) with cluster_id = min id in the component.
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(

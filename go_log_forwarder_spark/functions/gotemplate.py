@@ -144,12 +144,16 @@ def compile_go_template(
     docstring for the supported subset)."""
 
     def render_field(f: _Field) -> Column:
+        # Every field coalesces to a non-null string: F.concat is
+        # null-propagating, so ONE null field would blank the whole rendered
+        # line, whereas Go's text/template prints an empty string for a
+        # zero-value Tag and "map[]" for a nil Data map.
         if f.root == "Timestamp":
-            return go_time_string(event_time)
+            return F.coalesce(go_time_string(event_time), F.lit(""))
         if f.root == "Tag":
-            return tag
+            return F.coalesce(tag, F.lit(""))
         if f.key is None:
-            return go_map_string(parsed)
+            return F.coalesce(go_map_string(parsed), F.lit("map[]"))
         return F.coalesce(parsed.getItem(f.key), F.lit("<no value>"))
 
     def truthy(f: _Field) -> Column:

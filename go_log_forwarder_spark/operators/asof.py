@@ -44,21 +44,32 @@ def as_of_join(
     clash = [c for c in payload_cols if c in lcols]
     if clash:
         raise ValueError(f"payload columns {clash} collide with left columns")
-    l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
-    for c in payload_cols:
-        l = l.withColumn(c, F.lit(None))
+    # The payload is carried as ONE struct, not per-column: with independent
+    # last(ignorenulls) per column, a NULL field in the latest right row
+    # would be back-filled from an OLDER right row, producing a mixed tuple
+    # that never existed. A struct is non-null whenever a right row matched
+    # (even if every field inside is NULL), so all fields come from the SAME
+    # right row and matched-row NULLs are preserved — exactly DuckDB's
+    # ASOF LEFT JOIN semantics.
+    ptype = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload")
+    ).schema["_payload"].dataType
+    l = (
+        left.withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_payload", F.lit(None).cast(ptype))
+    )
     r = right.select(
         F.col(key),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
     )
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
-    unioned = l.select(key, "_t", "_side", *payload_cols, *[c for c in lcols if c != key]).unionByName(
-        r.select(key, "_t", "_side", *payload_cols, *[c for c in lcols if c != key])
-    )
+    sel = [key, "_t", "_side", "_payload", *[c for c in lcols if c != key]]
+    unioned = l.select(*sel).unionByName(r.select(*sel))
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("_t"), F.col("_side"))
@@ -68,9 +79,11 @@ def as_of_join(
         key,
         "_side",
         *[c for c in lcols if c != key],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_payload"),
     )
-    return carried.filter(F.col("_side") == 1).select(*lcols, *payload_cols)
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col("_payload")[c].alias(c) for c in payload_cols]
+    )
 
 
 def as_of_join_sql(

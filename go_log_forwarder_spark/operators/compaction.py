@@ -39,8 +39,20 @@ def compact_parquet_dir(
     spark: SparkSession, path: str, target_mb: int = DEFAULT_TARGET_MB
 ) -> dict:
     """Rewrite ``path`` into ceil(bytes/target) parquet files. Returns
-    {files_before, files_after, bytes}. Atomic swap: the compacted output
-    lands in a sibling temp dir and replaces ``path`` with two renames."""
+    {files_before, files_after, bytes}.
+
+    Swap semantics: the compacted output lands in a sibling
+    ``__compact_<uuid>`` temp dir and replaces ``path`` with two renames.
+    Readers never observe partially-written files, but the swap is NOT
+    atomic — POSIX cannot atomically exchange directories without
+    renameat2(RENAME_EXCHANGE) — so there is a window between the two
+    renames where ``path`` does not exist, and a crash inside it leaves the
+    data under ``<path>__old_<uuid>``. Crash recovery: if ``path`` is
+    missing, rename the ``__old_`` dir back (its content is intact — the
+    original is never deleted until the new dir is in place); stray
+    ``__compact_`` dirs are incomplete outputs and can always be removed.
+    On an object store / real table format this whole operator becomes an
+    Iceberg rewrite-data-files snapshot commit, which IS atomic."""
     before = [
         f
         for _root, _d, fs in os.walk(path)

@@ -28,7 +28,7 @@ import os
 import time
 import uuid
 from collections.abc import Callable
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,12 +44,27 @@ _METRICS_SCHEMA = (
 )
 
 
+def _unit_path(unit: str) -> str:
+    # input_file_name() yields a percent-encoded file:// URI — decode it,
+    # or units with spaces etc. stat-fail and silently disable the reset
+    return unquote(urlparse(unit).path or unit)
+
+
 def unit_size(unit: str) -> int | None:
     """Current byte size of a unit (a file:// URI from input_file_name);
     None when unreadable. The manifest of a real table format carries this."""
-    path = urlparse(unit).path or unit
     try:
-        return os.path.getsize(path)
+        return os.path.getsize(_unit_path(unit))
+    except OSError:
+        return None
+
+
+def unit_mtime_ns(unit: str) -> int | None:
+    """Current mtime (ns) of a unit; None when unreadable. Recorded at
+    commit so same-size-or-larger replacements are detected, not just
+    shrinks (a real table format's snapshot id plays this role)."""
+    try:
+        return os.stat(_unit_path(unit)).st_mtime_ns
     except OSError:
         return None
 
@@ -118,7 +133,7 @@ class TableLineageStore:
     _SCHEMA = (
         "run_id string, unit string, rows_in long, rows_parsed long, "
         "rows_dropped long, rows_routed long, status string, "
-        "committed_at double, unit_size long"
+        "committed_at double, unit_size long, unit_mtime_ns long"
     )
 
     def __init__(self, spark: SparkSession, base: str):
@@ -153,7 +168,7 @@ class TableLineageStore:
             (
                 rec["run_id"], rec["unit"], rec["rows_in"], rec["rows_parsed"],
                 rec["rows_dropped"], rec["rows_routed"], rec["status"],
-                rec["committed_at"], rec.get("unit_size"),
+                rec["committed_at"], rec.get("unit_size"), rec.get("unit_mtime_ns"),
             )
             for rec in records
         ]
@@ -167,6 +182,7 @@ class TableLineageStore:
                     "run_id": run_id, "unit": unit, "rows_in": 0, "rows_parsed": 0,
                     "rows_dropped": 0, "rows_routed": 0, "status": "invalidated",
                     "committed_at": time.time(), "unit_size": None,
+                    "unit_mtime_ns": None,
                 }
             ],
         )
@@ -226,13 +242,20 @@ class ResumablePipeline:
         units = self.list_units(spark, input_path)
         committed = self.lineage.committed(run_id, spark)
         # truncation/replacement reset (tail.go:409-415: offset > size ->
-        # seek 0): a committed unit whose file is now SMALLER than at commit
-        # time was truncated/replaced — invalidate it so it reprocesses; the
+        # seek 0), generalized: a committed unit whose file CHANGED since
+        # commit — shrunk, grew (append), or was replaced in place (size
+        # equal but mtime moved) — is invalidated so it reprocesses; the
         # dynamic-partition-overwrite sink replaces its old output (no dup).
+        # Records from older stores may lack unit_mtime_ns; the mtime check
+        # only fires when both sides are present.
         truncated = []
         for u, rec in committed.items():
             cur, old = unit_size(u), rec.get("unit_size")
-            if cur is not None and old is not None and cur < old:
+            cur_mt, old_mt = unit_mtime_ns(u), rec.get("unit_mtime_ns")
+            changed = (
+                cur is not None and old is not None and cur != old
+            ) or (cur_mt is not None and old_mt is not None and cur_mt != old_mt)
+            if changed:
                 self.lineage.invalidate(run_id, u)
                 truncated.append(u)
         for u in truncated:
@@ -300,6 +323,7 @@ class ResumablePipeline:
                     "status": "committed",
                     "committed_at": time.time(),
                     "unit_size": unit_size(u),
+                    "unit_mtime_ns": unit_mtime_ns(u),
                 }
             )
             self.lineage.commit(run_id, [records[-1]])

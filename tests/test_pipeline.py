@@ -337,3 +337,31 @@ def test_compact_parquet_dir(spark, tmp_path):
     after = spark.read.parquet(path)
     assert sorted(r["id"] for r in after.select("id").collect()) == before_rows
     assert after.schema == before.schema
+
+
+def test_as_of_join_matched_row_nulls_not_backfilled(spark):
+    # ADVICE r2: all payload columns must come from the SAME matched right
+    # row — a NULL field in the latest match stays NULL (DuckDB ASOF
+    # semantics), never back-filled from an older right row.
+    from go_log_forwarder_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [("a", 5, 1), ("a", 7, 2)], "k string, t long, row_id long"
+    )
+    right = spark.createDataFrame(
+        [("a", 2, 10, "x"), ("a", 6, None, "y")],
+        "k string, t long, rate long, note string",
+    )
+    out = {
+        r["row_id"]: (r["rate"], r["note"])
+        for r in as_of_join(left, right, "k", "t", "t", ["rate", "note"]).collect()
+    }
+    assert out == {1: (10, "x"), 2: (None, "y")}
+
+
+def test_dup_clusters_rejects_nonpositive_max_iters(spark):
+    from go_log_forwarder_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        dup_clusters(pairs, max_iters=0)

@@ -165,3 +165,55 @@ def test_truncated_unit_reprocessed_once(spark, tmp_path, store_kind):
 
     # stable afterwards: nothing reprocesses
     assert rp.run(spark, inp, _pipeline_fn, run_id="t1")["processed"] == 0
+
+
+@pytest.mark.parametrize("store_kind", ["json", "table"])
+def test_replaced_or_grown_unit_reprocessed(spark, tmp_path, store_kind):
+    # replacement detection beyond shrinks: a committed unit whose file GREW
+    # (append/rotation landing a bigger file) must also invalidate — size
+    # heuristics one-sided on shrink would silently never process the new
+    # content. The mtime_ns record catches same-size rewrites too.
+    import glob
+    import shutil
+    from urllib.parse import urlparse
+
+    inp = str(tmp_path / "input4")
+    _write_input(spark, inp, n=100, files=4)
+    wd = str(tmp_path / "wd4")
+    rp = _mk_rp(spark, wd, store_kind)
+    assert rp.run(spark, inp, _pipeline_fn, run_id="g1")["processed"] == 4
+
+    # replace one unit with a BIGGER file (more rows, same schema)
+    unit = rp.list_units(spark, inp)[2]
+    target = urlparse(unit).path
+    big_dir = str(tmp_path / "_big")
+    spark.read.parquet(inp).coalesce(1).write.mode("overwrite").parquet(big_dir)
+    part = glob.glob(big_dir + "/part-*.parquet")[0]
+    assert os.path.getsize(part) > os.path.getsize(target)
+    shutil.copy(part, target)
+    crc = os.path.join(os.path.dirname(target), f".{os.path.basename(target)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    res = rp.run(spark, inp, _pipeline_fn, run_id="g1")
+    assert res["processed"] == 1 and res["skipped"] == 3
+    # matches a clean run over the current input; stable afterwards
+    clean = str(tmp_path / "clean4")
+    _mk_rp(spark, clean, store_kind).run(spark, inp, _pipeline_fn, run_id="g1")
+    assert _totals(spark, wd) == _totals(spark, clean)
+    assert rp.run(spark, inp, _pipeline_fn, run_id="g1")["processed"] == 0
+
+
+def test_unit_size_percent_decoded(tmp_path):
+    # input_file_name URIs are percent-encoded; a space in the path must not
+    # stat-fail (which would silently disable the truncation reset)
+    from go_log_forwarder_spark.plans.lineage import unit_mtime_ns, unit_size
+
+    d = tmp_path / "with space"
+    d.mkdir()
+    p = d / "u.parquet"
+    p.write_bytes(b"x" * 37)
+    uri = p.as_uri()  # percent-encodes the space
+    assert "%20" in uri
+    assert unit_size(uri) == 37
+    assert unit_mtime_ns(uri) is not None

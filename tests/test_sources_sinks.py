@@ -503,3 +503,21 @@ def test_multimodal_resize_plumbing(spark):
     assert len(out) == 10  # only the image rows
     for r in out:
         assert len(r["content"]) == 32 and (r["width"], r["height"]) == (8, 4)
+
+
+def test_go_template_null_fields_do_not_blank_row(spark):
+    # ADVICE r2: F.concat is null-propagating — a NULL tag or NULL
+    # event_time must render as Go's zero-value text, never nullify the
+    # whole line
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    df = spark.createDataFrame(
+        [({"a": "1"}, None, None)],
+        "parsed map<string,string>, tag string, event_time timestamp",
+    )
+    out = df.select(
+        compile_go_template(
+            "t=[{{.Tag}}] a={{.Data.a}}", F.col("parsed"), F.col("tag"), F.col("event_time")
+        ).alias("t")
+    ).collect()
+    assert out[0]["t"] == "t=[] a=1"
