@@ -284,30 +284,40 @@ def q_tokens_roundtrip_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tokens_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship aggregate: parse -> tag -> route -> per-sink counts + token
-    totals over the sequence table."""
-    toks = tokens_from_events(spark, sf_dir)
-    parsed = parse_tokens_raw(serialize_tokens(toks)).withColumn(
-        "tag", F.concat(F.lit("tok-"), F.col("parsed.source"))
-    )
-    routed = route_exploded(parsed, TOK_SINKS)
-    return routed.groupBy(F.col("sink").alias("sink_name")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("parsed.n_tok").cast("bigint")).alias("sum_n_tok"),
-    )
-
-
-def q_tokens_salted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule skew handling: explicit salted repartition by source must
-    preserve per-source aggregates exactly."""
+def q_tokens_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregate over the sequence table: salted repartition by the
+    skewed source (north-rule skew handling) -> serialize -> parse (P2 typed
+    path) -> tag -> route -> per-sink AND per-source counts/token totals in
+    one relation (kind = 'sink' | 'source'). Merges rounds-1/2's
+    tokens_route_counts + tokens_salted_per_source driver rows (both
+    hash-green in CORRECTNESS_r02) — the driver records at most 50 entries.
+    The salted repartition must preserve every group aggregate exactly."""
     toks = tokens_from_events(spark, sf_dir)
     salted = salted_repartition(toks, key="source", num_partitions=32, row_key="doc_id")
-    return salted.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("n_tok").cast("bigint")).alias("sum_n_tok"),
-        F.sum(F.element_at("tokens", 1).cast("bigint")).alias("sum_first_tok"),
+    parsed = parse_tokens_raw(serialize_tokens(salted)).withColumn(
+        "tag", F.concat(F.lit("tok-"), F.col("parsed.source"))
     )
+    first_tok = F.element_at(F.col("parsed.tokens"), 1).cast("bigint")
+    routed = route_exploded(parsed, TOK_SINKS)
+    by_sink = (
+        routed.groupBy(F.col("sink").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("parsed.n_tok").cast("bigint")).alias("sum_n_tok"),
+            F.sum(first_tok).alias("sum_first_tok"),
+        )
+        .select(F.lit("sink").alias("kind"), "key", "n", "sum_n_tok", "sum_first_tok")
+    )
+    by_source = (
+        parsed.groupBy(F.col("parsed.source").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("parsed.n_tok").cast("bigint")).alias("sum_n_tok"),
+            F.sum(first_tok).alias("sum_first_tok"),
+        )
+        .select(F.lit("source").alias("kind"), "key", "n", "sum_n_tok", "sum_first_tok")
+    )
+    return by_sink.unionByName(by_source)
 
 
 # ---------------------------------------------------------------------------
@@ -331,27 +341,22 @@ def _docs_with_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "text", ts.words_col(F.col("text")).alias("_ws"))
 
 
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile — token counting (whitespace +
+    BPE-ish regex), quality scoring, language-ID and document fingerprinting
+    in ONE wide per-doc row. Rounds 1-2 gated these as four separate driver
+    queries (text_token_count / text_quality / text_lang_id /
+    doc_fingerprint — all hash-green in CORRECTNESS_r01/r02); they are
+    merged because the driver records at most 50 queries()'s entries and
+    round 3 needs the slots. All four operators' columns remain
+    individually hash-gated here; one text scan instead of four."""
     return _docs_with_words(spark, sf_dir).select(
-        "doc_id", *ts.token_count_cols(F.col("text"), words=F.col("_ws"))
-    )
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_with_words(spark, sf_dir).select(
-        "doc_id", *ts.quality_cols(F.col("text"), words=F.col("_ws"))
-    )
-
-
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_with_words(spark, sf_dir).select(
-        "doc_id", "lang", ts.lang_guess_col(F.col("text"), words=F.col("_ws")).alias("lang_guess")
-    )
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_with_words(spark, sf_dir).select(
-        "doc_id", *ts.fingerprint_cols(F.col("text"), words=F.col("_ws"))
+        "doc_id",
+        "lang",
+        *ts.token_count_cols(F.col("text"), words=F.col("_ws")),
+        *ts.quality_cols(F.col("text"), words=F.col("_ws")),
+        ts.lang_guess_col(F.col("text"), words=F.col("_ws")).alias("lang_guess"),
+        *ts.fingerprint_cols(F.col("text"), words=F.col("_ws")),
     )
 
 
@@ -954,35 +959,43 @@ def q_tcp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_windowed_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling-window per-sink counts (streaming §2.9 extension,
-    batch-mode twin): 1-hour windows over ingest time."""
-    kept = _kept(spark, sf_dir)
-    routed = route_exploded(kept, SINKS)
-    return routed.groupBy(
-        F.window(F.col("ingest_time"), "1 hour").alias("win"),
-        F.col("sink").alias("sink_name"),
-    ).agg(F.count(F.lit(1)).alias("n")).select(
-        F.col("win.start").alias("window_start"), "sink_name", "n"
-    )
-
-
-def q_window_top_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour heavy hitters: top-3 tags by kept-row count in each 1-hour
-    event-time window (rank over window buckets, deterministic tie-break by
-    tag) — the windowed top-k shape of streaming analytics."""
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window analytics (streaming §2.9 extension,
+    batch-mode twin) in one relation: per-sink counts in 1-hour windows
+    (kind='sink', F.window tumbling) + per-hour heavy hitters — top-3 tags
+    by kept-row count with deterministic tie-break (kind='tag', rank 1..3;
+    sink rows carry rank 0). Merges rounds-1/2's windowed_route_counts +
+    window_top_tags driver rows (both hash-green in CORRECTNESS_r02) — the
+    driver records at most 50 queries() entries."""
     from pyspark.sql.window import Window
 
     kept = _kept(spark, sf_dir)
+    routed = route_exploded(kept, SINKS)
+    by_sink = (
+        routed.groupBy(
+            F.window(F.col("ingest_time"), "1 hour").alias("win"),
+            F.col("sink").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.lit("sink").alias("kind"),
+            "key",
+            "n",
+            F.lit(0).cast("int").alias("rank"),
+        )
+    )
     counts = kept.groupBy(
-        F.date_trunc("hour", F.col("ingest_time")).alias("window_start"), "tag"
+        F.date_trunc("hour", F.col("ingest_time")).alias("window_start"),
+        F.col("tag").alias("key"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("tag"))
-    return (
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("key"))
+    by_tag = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("window_start", "tag", "n", "rank")
+        .select("window_start", F.lit("tag").alias("kind"), "key", "n", "rank")
     )
+    return by_sink.unionByName(by_tag)
 
 
 GROK_EXPR = "%{LOGLEVEL:level} id=%{INT:id} user=%{INT:user}"
@@ -1218,7 +1231,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    # HARD CAP: the driver records at most 50 entries (CORRECTNESS_r01 had
+    # all 35; CORRECTNESS_r02 recorded exactly the FIRST 50 of 54 in dict
+    # order and silently dropped the rest — that, not the oracle SQL, is why
+    # multimodal_features/multimodal_frames had no round-2 driver row).
+    # Keep this dict at <= 50 keys; related per-doc queries were merged
+    # (text_profile = text_token_count+text_quality+text_lang_id+
+    # doc_fingerprint; window_analytics = windowed_route_counts+
+    # window_top_tags; tokens_group_counts = tokens_route_counts+
+    # tokens_salted_per_source — every constituent was hash-green in r02).
+    q = {
         "route_per_sink_counts": q_route_per_sink_counts,
         "route_per_sink_source_counts": q_route_per_sink_source_counts,
         "json_parse_extract": q_json_parse_extract,
@@ -1228,13 +1250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast_lookup": q_enrich_broadcast_lookup,
         "regex_parse_groups": q_regex_parse_groups,
         "parser_chain_first_match": q_parser_chain_first_match,
+        "grok_parse_groups": q_grok_parse_groups,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "stream_route_counts": q_stream_route_counts,
+        "resume_lineage_metrics": q_resume_lineage_metrics,
         "tokens_roundtrip_equality": q_tokens_roundtrip_equality,
-        "tokens_route_counts": q_tokens_route_counts,
-        "tokens_salted_per_source": q_tokens_salted_per_source,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "tokens_group_counts": q_tokens_group_counts,
+        "text_profile": q_text_profile,
         "text_doc_freq": q_text_doc_freq,
         "doc_chunks_overlap": q_doc_chunks_overlap,
         "text_redact": q_text_redact,
@@ -1263,17 +1286,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour_day_week": q_rollup_hour_day_week,
         "http_lines_split": q_http_lines_split,
         "tcp_chunks": q_tcp_chunks,
-        "windowed_route_counts": q_windowed_route_counts,
-        "window_top_tags": q_window_top_tags,
+        "window_analytics": q_window_analytics,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "tokens_dedup_exact": q_tokens_dedup_exact,
         "token_bigrams_topk": q_token_bigrams_topk,
-        "grok_parse_groups": q_grok_parse_groups,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "stream_route_counts": q_stream_route_counts,
-        "resume_lineage_metrics": q_resume_lineage_metrics,
     }
+    assert len(q) <= 50, f"driver records only 50 queries; got {len(q)}"
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1296,11 +1315,19 @@ def oracle_sql() -> dict[str, str]:
     # NB every oracle aggregate is wrapped CAST(SUM(..) AS BIGINT): DuckDB's
     # bare SUM(BIGINT) is HUGEINT, which .df() renders as float64 ("123.0")
     # while Spark toPandas gives int64 ("123") — a guaranteed hash mismatch.
-    tok_route = " UNION ALL ".join(
-        f"SELECT '{s.name}' AS sink_name, n, sum_n_tok FROM "
-        f"(SELECT COUNT(*)::BIGINT AS n, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok "
+    # per-sink rows (matched-only, so empty sinks drop — route_exploded
+    # emits no group for them) + per-source rows, one relation
+    tok_group = " UNION ALL ".join(
+        f"SELECT 'sink' AS kind, '{s.name}' AS key, n, sum_n_tok, sum_first_tok FROM "
+        f"(SELECT COUNT(*)::BIGINT AS n, CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok, "
+        f" CAST(SUM(CAST(tokens[1] AS BIGINT)) AS BIGINT) AS sum_first_tok "
         f" FROM tagged WHERE {_sink_pred_sql(s)}) WHERE n > 0"
         for s in TOK_SINKS
+    ) + (
+        " UNION ALL SELECT 'source' AS kind, source AS key, COUNT(*)::BIGINT AS n, "
+        "CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok, "
+        "CAST(SUM(CAST(tokens[1] AS BIGINT)) AS BIGINT) AS sum_first_tok "
+        "FROM toks GROUP BY source"
     )
     return {
         "route_per_sink_counts": _BASE_CTE + per_sink_counts_sql,
@@ -1374,27 +1401,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS roundtrip_ok, TRUE AS len_ok
             FROM toks
         """,
-        "tokens_route_counts": _TOKENS_CTE
+        "tokens_group_counts": _TOKENS_CTE
         + f""", tagged AS (SELECT *, 'tok-' || source AS tag FROM toks)
-            {tok_route}
+            {tok_group}
         """,
-        "tokens_salted_per_source": _TOKENS_CTE
-        + """
-            SELECT source, COUNT(*)::BIGINT AS n,
-                   CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok,
-                   CAST(SUM(CAST(tokens[1] AS BIGINT)) AS BIGINT) AS sum_first_tok
-            FROM toks GROUP BY source
-        """,
-        "text_token_count": "SELECT doc_id, "
+        "text_profile": "SELECT doc_id, lang, "
         + ", ".join(ts.token_count_sql("text"))
-        + " FROM documents",
-        "text_quality": "SELECT doc_id, "
+        + ", "
         + ", ".join(ts.quality_sql("text"))
-        + " FROM documents",
-        "text_lang_id": "SELECT doc_id, lang, "
+        + ", "
         + ts.lang_guess_sql("text")
-        + " AS lang_guess FROM documents",
-        "doc_fingerprint": "SELECT doc_id, "
+        + " AS lang_guess, "
         + ", ".join(ts.fingerprint_sql("text"))
         + " FROM documents",
         "text_doc_freq": ts.doc_freq_score_sql("documents"),
@@ -1543,7 +1560,7 @@ def oracle_sql() -> dict[str, str]:
                           i -> substr(body, CAST((i-1)*{TCP_CHUNK_SIZE}+1 AS INT), {TCP_CHUNK_SIZE}))) AS raw
             FROM sized
         """,
-        "windowed_route_counts": _BASE_CTE.replace(
+        "window_analytics": _BASE_CTE.replace(
             "FROM events",
             ", time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events",
         ).replace(
@@ -1552,26 +1569,21 @@ def oracle_sql() -> dict[str, str]:
         )
         + " "
         + " UNION ALL ".join(
-            f"SELECT window_start, '{s.name}' AS sink_name, COUNT(*)::BIGINT AS n "
+            f"SELECT window_start, 'sink' AS kind, '{s.name}' AS key, COUNT(*)::BIGINT AS n, "
+            f"CAST(0 AS INT) AS rank "
             f"FROM kept WHERE {_sink_pred_sql(s)} GROUP BY window_start"
             for s in SINKS
-        ),
-        "window_top_tags": _BASE_CTE.replace(
-            "FROM events",
-            ", date_trunc('hour', ts) AS window_start FROM events",
-        ).replace(
-            "SELECT event_id,",
-            "SELECT event_id, ts,",
         )
         + """
-            , counts AS (
-                SELECT window_start, tag, COUNT(*)::BIGINT AS n
-                FROM kept GROUP BY window_start, tag
+            UNION ALL
+            SELECT window_start, 'tag' AS kind, key, n, rank FROM (
+                SELECT window_start, tag AS key, n,
+                       CAST(row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, tag) AS INT) AS rank
+                FROM (SELECT window_start, tag, COUNT(*)::BIGINT AS n
+                      FROM kept GROUP BY window_start, tag)
+                QUALIFY rank <= 3
             )
-            SELECT window_start, tag, n,
-                   CAST(row_number() OVER (PARTITION BY window_start
-                        ORDER BY n DESC, tag) AS INT) AS rank
-            FROM counts QUALIFY rank <= 3
         """,
         "dedup_embedding_cosine": _emb_pairs_sql(),
         "dedup_clusters": dd.dup_clusters_sql(_emb_pairs_sql()),

@@ -22,10 +22,9 @@ def materialize(df) -> int:
 
 
 # Headline set: the parse→route→aggregate pipeline + tokens flagship +
-# training-data ops. Excluded: dedup_jaccard_pairs / dedup_minhash_lsh
-# (pairwise outputs explode quadratically on the synthetic word-soup corpus
-# — they stay in queries() for the sf0.01 correctness gate), and the
-# stream/resume/multimodal demos (temp-dir side effects, not throughput).
+# training-data ops. Round-3 merges: text_profile = the four former text_*
+# queries; tokens_group_counts = tokens_route_counts+tokens_salted_per_source;
+# window_analytics = windowed_route_counts+window_top_tags.
 HEADLINE = [
     "route_per_sink_counts",
     "route_per_sink_source_counts",
@@ -38,12 +37,8 @@ HEADLINE = [
     "grok_parse_groups",
     "parser_chain_first_match",
     "tokens_roundtrip_equality",
-    "tokens_route_counts",
-    "tokens_salted_per_source",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "doc_fingerprint",
+    "tokens_group_counts",
+    "text_profile",
     "text_doc_freq",
     "doc_chunks_overlap",
     "decontaminate",
@@ -59,8 +54,7 @@ HEADLINE = [
     "tcp_chunks",
     "multimodal_features",
     "multimodal_frames",
-    "windowed_route_counts",
-    "window_top_tags",
+    "window_analytics",
     "sessionize",
     "asof_enrich",
     "range_join_windows",
@@ -76,6 +70,36 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_clusters",
 ]
+
+# Gated queries deliberately not benchmarked, with the reason recorded IN the
+# bench JSON (self-describing — VERDICT r2 item 9): the skipped set is an
+# explicit contract, not a silent truncation.
+EXCLUDED = {
+    "dedup_jaccard_pairs": (
+        "pair RELATION output: ~70k rows at sf0.01 grows quadratically on the"
+        " synthetic word-soup corpus; stays in the sf0.01 correctness gate"
+    ),
+    "dedup_minhash_lsh": (
+        "same pair-relation shape as dedup_jaccard_pairs (threshold 0.5);"
+        " gated at sf0.01"
+    ),
+    "dedup_simhash_pairs": (
+        "banded pair relation; quadratic output on the synthetic near-dup"
+        " corpus; gated at sf0.01"
+    ),
+    "dedup_survivors": (
+        "consumes the minhash_lsh pair relation + iterative clustering;"
+        " measured via its parts (dedup_clusters); gated at sf0.01"
+    ),
+    "stream_route_counts": (
+        "streaming demo with temp-dir side effects + an inline batch-equality"
+        " assert; latency is trigger-bound, not engine throughput"
+    ),
+    "resume_lineage_metrics": (
+        "crash/resume demo: run cost is dominated by injected failure +"
+        " lineage I/O in a temp dir, not query throughput"
+    ),
+}
 
 
 def main() -> None:
@@ -105,13 +129,20 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    qs_all = set(qs)
     result = {
         "metric": "end-to-end parse→route→aggregate wall time, all headline queries",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "excluded": {k: v for k, v in EXCLUDED.items() if k in qs_all},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # invariant: every gated query is either benchmarked or has a recorded
+    # exclusion reason — nothing silently dropped
+    missing = qs_all - set(HEADLINE) - set(EXCLUDED)
+    if missing:
+        result["UNACCOUNTED"] = sorted(missing)
     print(json.dumps(result))
 
 
