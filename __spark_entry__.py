@@ -473,27 +473,35 @@ def q_tokens_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p95 order statistics. The percentile index is pure integer math
     (k = (n-1)//2, (19*(n-1))//20) and the value is the (k+1)-th smallest
     n_tok — no float interpolation, so the oracle matches bit-for-bit
-    (continuous-percentile formulas differ by 1 ulp across engines)."""
+    (continuous-percentile formulas differ by 1 ulp across engines).
+
+    Scale shape (VERDICT r2 item 4): a two-pass order statistic over the
+    VALUE HISTOGRAM — groupBy(source, n_tok) counts (partial-agg shuffle of
+    the raw rows), then cumulative counts + k-th pick on the aggregated
+    relation (rows = distinct lengths per source, thousands not billions).
+    The former row_number window partitioned by source alone sorted every
+    source's full row set in ONE task — correct at sf0.1, serial at 100x."""
     from pyspark.sql.window import Window
 
     toks = tokens_from_events(spark, sf_dir).select("source", "n_tok")
-    w = Window.partitionBy("source").orderBy("n_tok")
-    ranked = toks.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    hist = toks.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return ranked.groupBy("source").agg(
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    k50 = ((F.col("n") - 1) / 2).cast("bigint")
+    k95 = (19 * (F.col("n") - 1) / 20).cast("bigint")
+    in_span = lambda k: (F.col("cum") - F.col("c") <= k) & (k < F.col("cum"))  # noqa: E731
+    return cum.groupBy("source").agg(
         F.max("n").alias("n"),
         F.min("n_tok").alias("min_len"),
         F.max("n_tok").alias("max_len"),
-        F.max(
-            F.when(F.col("rn") - 1 == ((F.col("n") - 1) / 2).cast("bigint"), F.col("n_tok"))
-        ).alias("p50_len"),
-        F.max(
-            F.when(
-                F.col("rn") - 1 == (19 * (F.col("n") - 1) / 20).cast("bigint"),
-                F.col("n_tok"),
-            )
-        ).alias("p95_len"),
+        F.max(F.when(in_span(k50), F.col("n_tok"))).alias("p50_len"),
+        F.max(F.when(in_span(k95), F.col("n_tok"))).alias("p95_len"),
     )
 
 
@@ -602,6 +610,7 @@ def q_tokens_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CTX = 2048  # context length for concat-and-chunk packing
+PACK_BLOCK = 65536  # doc_ids per prefix-sum block (the distributed cumsum granule)
 
 
 def q_tokens_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,19 +618,49 @@ def q_tokens_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenated per source in doc_id order and sliced into fixed
     PACK_CTX-token context windows. Emits each doc's byte-exact placement:
     start offset, first/last window id, whether it crosses a window
-    boundary. One window cumsum — a single shuffle on source, no Python."""
+    boundary.
+
+    Scale shape (VERDICT r2 item 3): a two-level distributed prefix sum.
+    doc_id space is cut into PACK_BLOCK-wide blocks (floor(doc_id/B) is
+    monotone in doc_id, so block order == doc order); level 1 cumsums WITHIN
+    (source, block) — the window key is high-cardinality, every task bounded
+    by B rows; level 2 cumsums the per-block subtotals per source — a window
+    over the AGGREGATED relation (rows/B, millions of rows per source would
+    be thousands of blocks), broadcast-joined back. The former single window
+    partitioned by source alone serialized each source into ONE task.
+    Identical output to the naive per-source running cumsum (same oracle)."""
     from pyspark.sql.window import Window
 
-    toks = tokens_from_events(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
+    # doc_id is 'doc-' + zero-padded digits: the numeric suffix is monotone
+    # in the string ordering, so suffix//B blocks respect doc_id order
+    toks = tokens_from_events(spark, sf_dir).withColumn(
+        "_blk",
+        F.floor(F.substring("doc_id", 5, 12).cast("bigint") / PACK_BLOCK).cast("bigint"),
+    )
+    w_intra = (
+        Window.partitionBy("source", "_blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    end = F.sum("n_tok").over(w)
+    intra = toks.withColumn("_iend", F.sum("n_tok").over(w_intra))
+    # per-(source, block) subtotals -> running offset of each block = sum of
+    # all PRECEDING blocks' subtotals within the source
+    w_blk = (
+        Window.partitionBy("source")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        toks.groupBy("source", "_blk")
+        .agg(F.sum("n_tok").alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_blk), F.lit(0)))
+        .select("source", "_blk", "_boff")
+    )
+    joined = intra.join(F.broadcast(boff), ["source", "_blk"])
+    end = F.col("_boff") + F.col("_iend")
     win_first = F.floor((end - F.col("n_tok")) / PACK_CTX).cast("bigint")
     win_last = F.floor((end - 1) / PACK_CTX).cast("bigint")
-    return toks.select(
+    return joined.select(
         "doc_id",
         "source",
         (end - F.col("n_tok")).cast("bigint").alias("start_off"),

@@ -207,3 +207,38 @@ def test_all_pairs_plan_is_block_shuffle_not_collect(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_concat_prefix_sum_is_blocked_not_per_source(spark):
+    """The packing cumsum must never sort a whole source in one task: the
+    full-relation window partitions on (source, _blk) — high cardinality —
+    and the only per-source-alone window runs over the block-subtotal
+    AGGREGATE (rows/PACK_BLOCK), whose offsets then broadcast-join back."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_tokens_pack_concat(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # level-1 window keyed by (source, _blk)
+    assert "windowspecdefinition(source" in plan and "_blk" in plan
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    per_source_only = [s for s in specs if "_blk" not in s and "_btot" not in s]
+    # any window WITHOUT the block key must be the subtotal-level cumsum
+    # (its frame sums _btot), never the raw row relation
+    for s in per_source_only:
+        raise AssertionError(f"raw-relation window partitioned by source alone: {s}")
+    # the offsets come back via broadcast, not another big-side exchange
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_stats_is_histogram_not_global_sort(spark):
+    """Exact percentiles must come from the (source, n_tok) value histogram:
+    the raw relation is only partially aggregated (partial_count before the
+    exchange); windows run over the aggregated histogram, and no row_number
+    ranks the full row set."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_tokens_length_stats(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "row_number" not in plan
+    # map-side partial aggregation of the histogram counts
+    assert "partial_count" in plan
