@@ -1,20 +1,25 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-(SURVEY-mandated addition for training-data pipelines.) The container has
-no image/audio codecs, so the DECODE step is a deterministic stub behind
-``DECODERS`` — clearly marked; swapping in PIL/torchaudio on a real cluster
-changes ONE function. Everything Spark-side is real and tested: the schema,
-Arrow batch shape (``mapInPandas`` over record-batch iterators), partition
-behavior, and the feature-extraction contract.
+(SURVEY-mandated addition for training-data pipelines.) Round 3 removed the
+decode stub: payloads are REAL containers — spec-valid PNG (signature,
+IHDR/IDAT/IEND chunks, CRC32, zlib-wrapped filter-0 scanlines), PCM WAV
+(RIFF/fmt /data) and AVI (RIFF/LIST hdrl/avih) — and the decode kernel does
+real byte-level parsing: chunk walks, CRC verification, big/little-endian
+header fields, and for images a full pixel decode (zlib inflate + filter-0
+reconstruction). No codec libraries needed; everything is stdlib
+struct/zlib, which also means the same numbers are reproducible as pure
+arithmetic by the DuckDB oracle.
 
 Scale design: media bytes stay in one ``binary`` column; decode/feature
-kernels are per-partition Arrow batch iterators (no row-at-a-time Python,
-no driver collect); metadata-only plans never touch the bytes (column
+kernels are per-partition Arrow batch iterators (no row-at-a-time Python
+UDF, no driver collect); metadata-only plans never touch the bytes (column
 pruning drops the binary column when unreferenced).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,100 +32,345 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),  # image | audio | video
         T.StructField("content", T.BinaryType()),
-        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, checksum long, "
-    "width int, height int, duration_ms int"
+    "media_id long, kind string, n_bytes long, magic_ok boolean, "
+    "width int, height int, sample_rate int, n_frames int, duration_ms int"
 )
 
-
-def _stub_decode_image(buf: bytes) -> dict:
-    """STUB (no codec libs in this container): deterministic fake decode.
-    Real deployment: PIL.Image.open(io.BytesIO(buf)) here."""
-    return {"width": 1 + buf[0] % 64 if buf else 0, "height": 1 + buf[-1] % 64 if buf else 0, "duration_ms": 0}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _stub_decode_av(buf: bytes) -> dict:
-    """STUB: real deployment decodes headers via av/torchaudio."""
-    return {"width": 0, "height": 0, "duration_ms": len(buf) * 10}
+# ---------------------------------------------------------------------------
+# synthetic payload builders (deterministic in media_id -> every derived
+# field is formula-reproducible by the oracle)
+# ---------------------------------------------------------------------------
 
 
-DECODERS = {"image": _stub_decode_image, "audio": _stub_decode_av, "video": _stub_decode_av}
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(i: int) -> bytes:
+    """Spec-valid 8-bit RGB PNG: w=1+i%8, h=1+(7i)%8, pixel (x,y) =
+    ((i+x)%256, (3i+y)%256, (x*y+i)%256). IDAT is a zlib level-0 (stored)
+    stream so its length is exactly raw_len+11 — formula-computable:
+    n_bytes = 68 + h*(1+3w)."""
+    w, h = 1 + i % 8, 1 + (i * 7) % 8
+    rows = []
+    for y in range(h):
+        rows.append(b"\x00")  # filter type 0 (None)
+        rows.append(
+            bytes(
+                v % 256
+                for x in range(w)
+                for v in ((i + x), (3 * i + y), (x * y + i))
+            )
+        )
+    raw = b"".join(rows)
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    idat = zlib.compress(raw, level=0)  # stored blocks: len = raw+11 (raw<64KiB)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_wav(i: int) -> bytes:
+    """PCM WAV: mono 16-bit, sample_rate = 8000+(i%8)*1000, n_samples =
+    100+i%400, sample j = ((31i+7j) mod 65536) - 32768. n_bytes = 44+2*ns."""
+    sr = 8000 + (i % 8) * 1000
+    ns = 100 + i % 400
+    data = b"".join(
+        struct.pack("<h", ((31 * i + 7 * j) % 65536) - 32768) for j in range(ns)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)  # PCM, mono, 16-bit
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi(i: int) -> bytes:
+    """AVI main header: fps = 10+i%20 (us_per_frame = 10^6//fps), frames =
+    30+i%300, dims (16+i%64, 9+i%64), plus a JUNK chunk of 2*(i%9) bytes.
+    n_bytes = 96 + 2*(i%9)."""
+    fps = 10 + i % 20
+    upf = 1_000_000 // fps
+    nf = 30 + i % 300
+    w, h = 16 + i % 64, 9 + i % 64
+    avih = struct.pack("<14I", upf, 0, 0, 0, nf, 0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    junk = bytes((i + j) % 256 for j in range(2 * (i % 9)))
+    body = (
+        b"AVI "
+        + b"LIST"
+        + struct.pack("<I", len(hdrl))
+        + hdrl
+        + b"JUNK"
+        + struct.pack("<I", len(junk))
+        + junk
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_SYNTH = {"image": synth_png, "audio": synth_wav, "video": synth_avi}
+_KINDS = ("image", "audio", "video")
+
+
+def synth_media(spark, n_rows: int = 200) -> DataFrame:
+    """Deterministic real-container media table: media_id i -> kind
+    _KINDS[i%3], content = synth_png/synth_wav/synth_avi(i)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            kinds = [_KINDS[i % 3] for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "content": [_SYNTH[k](i) for i, k in zip(ids, kinds)],
+                }
+            )
+
+    return (
+        spark.range(n_rows)
+        .mapInPandas(kernel, MEDIA_SCHEMA)
+        .withColumn("meta", F.create_map(F.lit("origin"), F.lit("synth")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# real decoders (pure byte math; no codec libraries)
+# ---------------------------------------------------------------------------
+
+
+def _walk_png_chunks(buf: bytes):
+    pos = 8
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if pos + 12 + ln > len(buf):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {typ!r}")
+        yield typ, data
+        pos += 12 + ln
+
+
+def decode_png_header(buf: bytes) -> dict:
+    """Real PNG header decode: signature check, chunk walk with CRC32
+    verification, IHDR big-endian width/height."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    for typ, data in _walk_png_chunks(buf):
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            return {"width": w, "height": h}
+    raise ValueError("no IHDR")
+
+
+def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
+    """Full PNG pixel decode for 8-bit RGB filter-0..4 images: inflate the
+    IDAT stream and reconstruct scanlines per the PNG filter spec. Returns
+    (w, h, rgb bytes row-major)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    w = h = None
+    idat = b""
+    for typ, data in _walk_png_chunks(buf):
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError(f"unsupported PNG format depth={depth} ctype={ctype}")
+        elif typ == b"IDAT":
+            idat += data
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for k in range(3, stride):
+                line[k] = (line[k] + line[k - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(stride):
+                left = line[k - 3] if k >= 3 else 0
+                line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(stride):
+                a = line[k - 3] if k >= 3 else 0
+                b = prev[k]
+                c = prev[k - 3] if k >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[k] = (line[k] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, out
+
+
+def encode_png(w: int, h: int, rgb: bytes) -> bytes:
+    """Encode 8-bit RGB pixels as a spec-valid PNG (filter 0, zlib stored
+    blocks — deterministic byte-for-byte)."""
+    stride = 3 * w
+    raw = b"".join(
+        b"\x00" + bytes(rgb[y * stride : (y + 1) * stride]) for y in range(h)
+    )
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level=0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _riff_chunks(body: bytes):
+    pos = 0
+    while pos + 8 <= len(body):
+        cid = body[pos : pos + 4]
+        (ln,) = struct.unpack("<I", body[pos + 4 : pos + 8])
+        yield cid, body[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+
+
+def decode_wav(buf: bytes) -> dict:
+    """Real WAV decode: RIFF/WAVE container walk, fmt (sample rate, bits,
+    channels) + data chunk size -> sample count and integer duration."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    sr = bits = ch = None
+    n_data = None
+    for cid, data in _riff_chunks(buf[12 : 8 + struct.unpack("<I", buf[4:8])[0]]):
+        if cid == b"fmt ":
+            _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+        elif cid == b"data":
+            n_data = len(data)
+    if sr is None or n_data is None:
+        raise ValueError("missing fmt /data chunk")
+    ns = n_data // (ch * bits // 8)
+    return {"sample_rate": sr, "n_frames": ns, "duration_ms": ns * 1000 // sr}
+
+
+def decode_avi(buf: bytes) -> dict:
+    """Real AVI decode: RIFF/'AVI ' -> LIST hdrl -> avih main header
+    (microseconds per frame, total frames, dims) -> integer duration."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    for cid, data in _riff_chunks(buf[12 : 8 + struct.unpack("<I", buf[4:8])[0]]):
+        if cid == b"LIST" and data[:4] == b"hdrl":
+            for sub, sdata in _riff_chunks(data[4:]):
+                if sub == b"avih":
+                    vals = struct.unpack("<14I", sdata[:56])
+                    upf, nf, w, h = vals[0], vals[4], vals[8], vals[9]
+                    return {
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "duration_ms": nf * upf // 1000,
+                    }
+    raise ValueError("no avih header")
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batch iterator)."""
+    """Decode + feature-extract via mapInPandas (Arrow batch iterator).
+    Real parsing per kind — PNG chunk walk with CRC32 verify, WAV fmt/data,
+    AVI avih — magic_ok=False rows carry zeroed features instead of
+    failing the batch (corrupt-input tolerance, parser-chain style)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 buf = bytes(content) if content is not None else b""
-                d = DECODERS.get(kind, _stub_decode_av)(buf)
-                checksum = sum(buf[:: max(1, len(buf) // 64)]) if buf else 0
-                rows.append(
-                    (media_id, kind, len(buf), checksum, d["width"], d["height"], d["duration_ms"])
-                )
+                w = h = sr = nf = dur = 0
+                ok = True
+                try:
+                    if kind == "image":
+                        d = decode_png_header(buf)
+                        w, h = d["width"], d["height"]
+                    elif kind == "audio":
+                        d = decode_wav(buf)
+                        sr, nf, dur = d["sample_rate"], d["n_frames"], d["duration_ms"]
+                    elif kind == "video":
+                        d = decode_avi(buf)
+                        w, h, nf, dur = d["width"], d["height"], d["n_frames"], d["duration_ms"]
+                    else:
+                        ok = False
+                except (ValueError, struct.error, zlib.error):
+                    ok = False
+                    w = h = sr = nf = dur = 0
+                rows.append((media_id, kind, len(buf), ok, w, h, sr, nf, dur))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "kind", "n_bytes", "checksum", "width", "height", "duration_ms",
+                    "media_id", "kind", "n_bytes", "magic_ok",
+                    "width", "height", "sample_rate", "n_frames", "duration_ms",
                 ],
             )
 
     return df.select("media_id", "kind", "content").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
-def synth_media(spark, n_rows: int = 200) -> DataFrame:
-    """Deterministic fake media table (binary payload derived from the id)."""
-    return spark.range(n_rows).select(
-        F.col("id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode(
-            F.concat(F.lit("media-payload-"), F.sha2(F.col("id").cast("string"), 256)),
-            "utf-8",
-        ).cast("binary").alias("content"),
-        F.create_map(F.lit("origin"), F.lit("synth")).alias("meta"),
-    )
-
-
 def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Image resize contract: binary in -> binary out + updated typed meta.
-    The PIXEL transform is a STUB (deterministic byte fold — no codec libs
-    in this container; real deployment: PIL resize here); the Spark-side
-    plumbing is real: Arrow batch iterators over the binary column, output
-    schema (content + width/height meta), column pruning of untouched
-    metadata, one narrow pass."""
-    target = width * height
+    """REAL image resize, no codec libs: full PNG pixel decode (zlib inflate
+    + filter reconstruction), nearest-neighbor resample, deterministic PNG
+    re-encode. Arrow batch iterators over the binary column; one narrow
+    pass; non-image rows are pruned before the kernel."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_content, out_w, out_h = [], [], []
+            out_content = []
             for content in pdf["content"]:
                 buf = bytes(content) if content is not None else b""
-                # STUB resample: fold/stretch bytes to the target size
-                # deterministically (real impl: decode -> resize -> encode)
-                if buf:
-                    reps = (target // len(buf)) + 1
-                    out = (buf * reps)[:target]
-                else:
-                    out = b"\x00" * target
-                out_content.append(out)
-                out_w.append(width)
-                out_h.append(height)
+                sw, sh, pix = decode_png_pixels(buf)
+                resized = bytearray(width * height * 3)
+                for y in range(height):
+                    sy = y * sh // height
+                    for x in range(width):
+                        sx = x * sw // width
+                        src = (sy * sw + sx) * 3
+                        dst = (y * width + x) * 3
+                        resized[dst : dst + 3] = pix[src : src + 3]
+                out_content.append(encode_png(width, height, bytes(resized)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "content": out_content,
-                    "width": out_w,
-                    "height": out_h,
+                    "width": [width] * len(out_content),
+                    "height": [height] * len(out_content),
                 }
             )
 
@@ -130,8 +380,8 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling contract: one row per sampled frame offset.
-    Decode is stubbed; the explode/plumbing (the Spark-side work) is real."""
+    """Video frame sampling: one row per sampled frame offset, derived from
+    the REAL avih-decoded duration; the explode is pure Catalyst."""
     feats = extract_features(df.filter(F.col("kind") == "video"))
     offsets = F.sequence(
         F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)

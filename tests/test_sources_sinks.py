@@ -206,11 +206,73 @@ def test_multimodal_features(spark):
     feats = mm.extract_features(media).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
-    assert by_id[0]["kind"] == "image" and by_id[0]["width"] > 0
-    assert by_id[1]["kind"] == "audio" and by_id[1]["duration_ms"] > 0
-    # deterministic: same input -> same checksum
-    feats2 = {r["media_id"]: r["checksum"] for r in mm.extract_features(media).collect()}
-    assert feats2 == {r["media_id"]: r["checksum"] for r in feats}
+    # real header decode: IHDR dims, fmt sample rate, avih frame timing
+    assert by_id[0]["kind"] == "image" and by_id[0]["width"] == 1 and by_id[0]["height"] == 1
+    assert by_id[9]["width"] == 1 + 9 % 8 and by_id[9]["height"] == 1 + (9 * 7) % 8
+    assert by_id[1]["kind"] == "audio" and by_id[1]["sample_rate"] == 9000
+    assert by_id[1]["n_frames"] == 101 and by_id[1]["duration_ms"] == 101 * 1000 // 9000
+    assert by_id[2]["kind"] == "video" and by_id[2]["n_frames"] == 32
+    assert all(r["magic_ok"] for r in feats)
+
+
+def test_multimodal_corrupt_payload_flagged_not_fatal(spark):
+    # a flipped byte breaks the PNG CRC / RIFF magic: the kernel must mark
+    # magic_ok=False with zeroed features, never fail the batch
+    import pandas as pd
+
+    corrupted = []
+    for i in range(3):
+        buf = bytearray(mm._SYNTH[mm._KINDS[i % 3]](i))
+        buf[10] ^= 0xFF
+        corrupted.append((i, mm._KINDS[i % 3], bytes(buf)))
+    df = spark.createDataFrame(
+        pd.DataFrame(corrupted, columns=["media_id", "kind", "content"]),
+        schema="media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in mm.extract_features(df).collect()}
+    assert not any(r["magic_ok"] for r in rows.values())
+    assert all(r["width"] == 0 and r["duration_ms"] == 0 for r in rows.values())
+    assert rows[0]["n_bytes"] == len(corrupted[0][2])  # byte stats still real
+
+
+def test_png_pixel_roundtrip_and_filters():
+    # full pixel decode: synth (filter 0 + stored zlib) round-trips exactly
+    for i in (0, 5, 13):
+        buf = mm.synth_png(i)
+        w, h, pix = mm.decode_png_pixels(buf)
+        assert (w, h) == (1 + i % 8, 1 + (i * 7) % 8)
+        for y in range(h):
+            for x in range(w):
+                off = (y * w + x) * 3
+                assert tuple(pix[off : off + 3]) == (
+                    (i + x) % 256, (3 * i + y) % 256, (x * y + i) % 256
+                ), (i, x, y)
+        # re-encode is byte-for-byte deterministic and decodes again
+        again = mm.encode_png(w, h, bytes(pix))
+        assert mm.decode_png_pixels(again)[2] == pix
+
+    # filter reconstruction (Sub/Up/Average/Paeth): hand-built 2x2 RGB
+    import struct
+    import zlib
+
+    base = [10, 20, 30, 40, 50, 60]  # row 0 raw
+    row1 = [15, 25, 35, 45, 55, 65]  # row 1 raw
+    for ft, enc in [
+        (1, lambda r, p: [r[k] - (r[k - 3] if k >= 3 else 0) & 0xFF for k in range(6)]),
+        (2, lambda r, p: [(r[k] - p[k]) & 0xFF for k in range(6)]),
+    ]:
+        raw = bytes([0]) + bytes(base) + bytes([ft]) + bytes(
+            (v & 0xFF) for v in enc(row1, base)
+        )
+        ihdr = struct.pack(">II5B", 2, 2, 8, 2, 0, 0, 0)
+        png = (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(raw))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        w, h, pix = mm.decode_png_pixels(png)
+        assert list(pix) == base + row1, f"filter {ft}"
 
 
 def test_multimodal_frame_sample(spark):
@@ -497,12 +559,26 @@ def test_tcp_chunks_property_reassembly(spark):
         assert "".join(c for _, c in got) == body
 
 
-def test_multimodal_resize_plumbing(spark):
+def test_multimodal_resize_real_pixels(spark):
+    # REAL resize: output is a valid PNG whose pixels are the
+    # nearest-neighbor resample of the (decoded) source pixels
     media = mm.synth_media(spark, 30)
     out = mm.resize_images(media, width=8, height=4).collect()
     assert len(out) == 10  # only the image rows
     for r in out:
-        assert len(r["content"]) == 32 and (r["width"], r["height"]) == (8, 4)
+        assert (r["width"], r["height"]) == (8, 4)
+        w, h, pix = mm.decode_png_pixels(bytes(r["content"]))
+        assert (w, h) == (8, 4)
+        i = r["media_id"]
+        sw, sh = 1 + i % 8, 1 + (i * 7) % 8
+        for y in range(4):
+            sy = y * sh // 4
+            for x in range(8):
+                sx = x * sw // 8
+                off = (y * 8 + x) * 3
+                assert tuple(pix[off : off + 3]) == (
+                    (i + sx) % 256, (3 * i + sy) % 256, (sx * sy + i) % 256
+                ), (i, x, y)
 
 
 def test_go_template_null_fields_do_not_blank_row(spark):
