@@ -1230,6 +1230,16 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), topk=10)
 
 
+def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search against TRAINED per-subspace codebooks (VERDICT r2
+    item 7): 2 integer Lloyd iterations per subspace (sim.pq_train_codebooks
+    — deterministic, engine-portable), then the same ADC lookup-table
+    search; the oracle unrolls the per-subspace Lloyd steps in SQL."""
+    emb = _embeddings(spark, sf_dir)
+    cents = sim.pq_train_codebooks(emb, iters=2)
+    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), topk=10, cents=cents)
+
+
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search against a TRAINED coarse quantizer: 2 integer Lloyd
     iterations (sim.kmeans_int — deterministic, engine-portable), then the
@@ -1319,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_trained_topk": q_ann_pq_trained_topk,
         "dedup_clusters": q_dedup_clusters,
         "tokens_quality_filter": q_tokens_quality_filter,
         "tokens_pack_concat": q_tokens_pack_concat,
@@ -1512,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": sim.ivf_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_ivf_trained_topk": sim.ivf_trained_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_pq_topk": sim.pq_adc_topk_sql("embeddings", "id < 3"),
+        "ann_pq_trained_topk": sim.pq_adc_trained_topk_sql("embeddings", "id < 3"),
         "tokens_quality_filter": _TOKENS_CTE
         + f"""
             , scored AS (

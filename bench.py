@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_pq_topk",
+    "ann_pq_trained_topk",
     "tcp_chunks",
     "multimodal_features",
     "multimodal_frames",

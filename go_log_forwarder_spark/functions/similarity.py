@@ -533,18 +533,80 @@ def _pq_cents(subs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def pq_train_codebooks(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    S: int = PQ_S, k: int = PQ_K, iters: int = 2,
+) -> DataFrame:
+    """TRAINED per-subspace PQ codebooks: integer Lloyd steps run grouped by
+    subspace (the PQ analog of :func:`kmeans_int`, and deliberately the same
+    deterministic recipe — init = first k vectors' sub-blocks, exact-int
+    squared-L2 assignment with ties to the lower codeword, update =
+    per-dimension floor(int_sum/count), empty codewords keep their previous
+    value — so the oracle can unroll the identical steps in SQL). Each
+    iteration: one broadcast assign + one posexplode aggregation; the
+    codebook relation is S*k rows, always broadcastable.
+    Returns (s int, cidx int, csub array<bigint>)."""
+    qz = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    subs = _pq_subs(qz, S).withColumn("norm2", int_dot(F.col("sub"), F.col("sub")))
+    subs = subs.localCheckpoint(eager=True)
+    cents = (
+        subs.filter(F.col("id") < k)
+        .select("s", F.col("id").cast("int").alias("cidx"), F.col("sub").alias("csub"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cn = cents.withColumn("cn", int_dot(F.col("csub"), F.col("csub")))
+        joined = subs.join(F.broadcast(cn), "s").withColumn(
+            "dist",
+            F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("sub"), F.col("csub")),
+        )
+        w = Window.partitionBy("id", "s").orderBy(F.asc("dist"), F.asc("cidx"))
+        assigned = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("s", "sub", F.col("cidx").alias("centroid"))
+        )
+        dims = assigned.select("s", "centroid", F.posexplode(F.col("sub")).alias("pos", "x"))
+        sums = dims.groupBy("s", "centroid", "pos").agg(
+            F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n")
+        )
+        new_cents = (
+            sums.withColumn(
+                "cval", F.floor(F.col("sm").cast("double") / F.col("n")).cast("bigint")
+            )
+            .groupBy("s", "centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cval")))),
+                    lambda e: e.getField("cval"),
+                ).alias("csub")
+            )
+            .select("s", F.col("centroid").alias("cidx"), "csub")
+        )
+        cents = (
+            cents.select("s", "cidx", F.col("csub").alias("csub_old"))
+            .join(new_cents, ["s", "cidx"], "left")
+            .select("s", "cidx", F.coalesce("csub", "csub_old").alias("csub"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def pq_encode(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    S: int = PQ_S, k: int = PQ_K,
+    S: int = PQ_S, k: int = PQ_K, cents: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes — the memory-compression layer of a
     production ANN index: each vector stores S small codeword ids instead
     of its floats (here 4 bytes vs 256). Assignment = per-subspace exact-int
     L2 argmin (ties to the lower codeword), one broadcast join + window.
-    Returns (id, codes array<int>[S])."""
+    ``cents`` overrides the seed codebook (pass :func:`pq_train_codebooks`
+    output for the trained variant). Returns (id, codes array<int>[S])."""
     qz = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
     subs = _pq_subs(qz, S)
-    cents = _pq_cents(subs, k)
+    cents = _pq_cents(subs, k) if cents is None else cents.withColumn(
+        "cn", int_dot(F.col("csub"), F.col("csub"))
+    )
     joined = subs.join(F.broadcast(cents), "s").withColumn(
         "dist",
         int_dot(F.col("sub"), F.col("sub"))
@@ -569,16 +631,20 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     S: int = PQ_S,
     k: int = PQ_K,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
     S x k lookup table of exact-int sub-dot-products against the codebook;
     a document's approximate dot product is the sum of S table lookups of
-    its codes — the corpus floats are never touched at query time. Emits
+    its codes — the corpus floats are never touched at query time. ``cents``
+    overrides the seed codebook (trained variant). Emits
     (query_id, neighbor_id, approx_dot, rank)."""
     qz = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
     subs = _pq_subs(qz, S)
-    cents = _pq_cents(subs, k)
-    codes = pq_encode(emb, id_col, vec_col, S, k).select(
+    cents = _pq_cents(subs, k) if cents is None else cents.withColumn(
+        "cn", int_dot(F.col("csub"), F.col("csub"))
+    )
+    codes = pq_encode(emb, id_col, vec_col, S, k, cents=cents.drop("cn")).select(
         "id", F.posexplode(F.col("codes")).alias("s", "code")
     )
     q_subs = subs.join(
@@ -636,6 +702,108 @@ def pq_adc_topk_sql(
             SELECT q.id AS query_id, c.s, c.cidx AS code,
                    {_dot_sql('q.sub', 'c.csub')} AS part
             FROM sub q JOIN cents c USING (s)
+            WHERE q.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
+        ),
+        scored AS (
+            SELECT l.query_id, a.id AS neighbor_id, CAST(SUM(l.part) AS BIGINT) AS approx_dot
+            FROM assigned a JOIN lut l ON l.s = a.s AND l.code = a.code
+            WHERE a.id <> l.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_dot,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= {topk}
+    """
+
+
+def pq_kmeans_cte_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding",
+    S: int = PQ_S, k: int = PQ_K, iters: int = 2,
+) -> str:
+    """DuckDB CTE chain unrolling ``iters`` per-subspace integer Lloyd steps
+    — the oracle twin of :func:`pq_train_codebooks`. Ends with ``pc{iters}``
+    (s, cidx, csub, cn). Same deterministic recipe as kmeans_cte_sql, with
+    the subspace id as an extra grouping key everywhere."""
+    width = f"CAST(len(v) / {S} AS INT)"
+    slices = (
+        f"[list_slice(v, i * {width} + 1, (i + 1) * {width})"
+        f" for i in generate_series(0, {S - 1})]"
+    )
+    parts = [
+        f"""qz AS (SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v FROM {table}),
+        subn AS (
+            SELECT id, s, sub, {_dot_sql('sub', 'sub')} AS norm2 FROM (
+                SELECT id, unnest(generate_series(0, {S - 1})) AS s, unnest({slices}) AS sub
+                FROM qz
+            )
+        ),
+        pc0 AS (
+            SELECT s, CAST(id AS INT) AS cidx, sub AS csub,
+                   {_dot_sql('sub', 'sub')} AS cn
+            FROM subn WHERE id < {k}
+        )"""
+    ]
+    dot_dc = (
+        "list_sum(list_transform(generate_series(1, len(d.sub)),"
+        " i -> d.sub[i] * c.csub[i]))"
+    )
+    for t in range(1, iters + 1):
+        prev = f"pc{t - 1}"
+        parts.append(
+            f"""passign{t} AS (
+            SELECT s, sub, centroid FROM (
+                SELECT d.s, d.sub, c.cidx AS centroid,
+                       row_number() OVER (PARTITION BY d.id, d.s
+                           ORDER BY d.norm2 + c.cn - 2 * {dot_dc}, c.cidx) AS rn
+                FROM subn d JOIN {prev} c USING (s)
+            ) WHERE rn = 1
+        ),
+        pdims{t} AS (
+            SELECT s, centroid, unnest(generate_series(1, len(sub))) AS pos, unnest(sub) AS x
+            FROM passign{t}
+        ),
+        pnewc{t} AS (
+            SELECT s, centroid AS cidx, list(cval ORDER BY pos) AS csub FROM (
+                SELECT s, centroid, pos,
+                       CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+                FROM pdims{t} GROUP BY s, centroid, pos
+            ) GROUP BY s, centroid
+        ),
+        pc{t} AS (
+            SELECT p.s, p.cidx, COALESCE(n.csub, p.csub) AS csub,
+                   {_dot_sql('COALESCE(n.csub, p.csub)', 'COALESCE(n.csub, p.csub)')} AS cn
+            FROM {prev} p LEFT JOIN pnewc{t} n ON n.s = p.s AND n.cidx = p.cidx
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def pq_adc_trained_topk_sql(
+    table: str, query_pred: str, topk: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    S: int = PQ_S, k: int = PQ_K, iters: int = 2,
+) -> str:
+    """DuckDB twin of pq_adc_topk(cents=pq_train_codebooks(...)): the
+    trained per-subspace codebooks feed the identical encode/LUT/score
+    pipeline as :func:`pq_adc_topk_sql`."""
+    cents = f"pc{iters}"
+    dist = (
+        "d.norm2 + c.cn"
+        " - 2 * list_sum(list_transform(generate_series(1, len(d.sub)), i -> d.sub[i] * c.csub[i]))"
+    )
+    return f"""
+        WITH {pq_kmeans_cte_sql(table, id_col, vec_col, S, k, iters)},
+        assigned AS (
+            SELECT id, s, cidx AS code FROM (
+                SELECT d.id, d.s, c.cidx,
+                       row_number() OVER (PARTITION BY d.id, d.s ORDER BY {dist}, c.cidx) AS rn
+                FROM subn d JOIN {cents} c USING (s)
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT q.id AS query_id, c.s, c.cidx AS code,
+                   {_dot_sql('q.sub', 'c.csub')} AS part
+            FROM subn q JOIN {cents} c USING (s)
             WHERE q.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
         ),
         scored AS (
