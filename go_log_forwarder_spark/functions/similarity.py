@@ -44,7 +44,7 @@ def cosine_col(qa: Column, qb: Column) -> Column:
     """Exact-int cosine of two QUANTIZED vectors, as micro fixed-point
     (floor(c*1e6+0.5) — see textstats.micro_col for why not ROUND)."""
     c = int_dot(qa, qb).cast("double") / F.sqrt(
-        (int_dot(qa, qa) * int_dot(qb, qb)).cast("double")
+        int_dot(qa, qa).cast("double") * int_dot(qb, qb).cast("double")
     )
     return F.floor(c * 1000000.0 + 0.5).cast("bigint")
 
@@ -132,7 +132,7 @@ def brute_force_topk_sql(
         q AS (SELECT id AS query_id, v AS qv FROM qz WHERE {query_pred}),
         scored AS (
             SELECT q.query_id, c.id AS neighbor_id,
-                   {micro_sql(f"CAST({_dot_sql('q.qv', 'c.v')} AS DOUBLE) / sqrt(CAST({_dot_sql('q.qv', 'q.qv')} * {_dot_sql('c.v', 'c.v')} AS DOUBLE))")} AS cosine_micro
+                   {micro_sql(f"CAST({_dot_sql('q.qv', 'c.v')} AS DOUBLE) / sqrt(CAST({_dot_sql('q.qv', 'q.qv')} AS DOUBLE) * CAST({_dot_sql('c.v', 'c.v')} AS DOUBLE))")} AS cosine_micro
             FROM q JOIN qz c ON c.id <> q.query_id
         )
         SELECT query_id, neighbor_id, cosine_micro,
@@ -158,7 +158,7 @@ def lsh_topk_sql(
         q AS (SELECT id AS query_id, v AS qv, bucket FROM qz WHERE {query_pred}),
         scored AS (
             SELECT q.query_id, c.id AS neighbor_id,
-                   {micro_sql(f"CAST({_dot_sql('q.qv', 'c.v')} AS DOUBLE) / sqrt(CAST({_dot_sql('q.qv', 'q.qv')} * {_dot_sql('c.v', 'c.v')} AS DOUBLE))")} AS cosine_micro
+                   {micro_sql(f"CAST({_dot_sql('q.qv', 'c.v')} AS DOUBLE) / sqrt(CAST({_dot_sql('q.qv', 'q.qv')} AS DOUBLE) * CAST({_dot_sql('c.v', 'c.v')} AS DOUBLE))")} AS cosine_micro
             FROM q JOIN qz c USING (bucket)
             WHERE c.id <> q.query_id
         )
@@ -231,7 +231,7 @@ def all_pairs_cosine_micro(
         if i == j:
             dots = M @ M.T  # exact int64
             cos = dots.astype(np.float64) / np.sqrt(
-                (norms[:, None] * norms[None, :]).astype(np.float64)
+                norms[:, None].astype(np.float64) * norms[None, :].astype(np.float64)
             )
             micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
             keep = (micro >= threshold_micro) & (ids[:, None] < ids[None, :])
@@ -260,12 +260,66 @@ def all_pairs_cosine_micro(
     )
 
 
+def split_hot_buckets(
+    assigned: DataFrame, split_cap: int, seed: str = "split"
+) -> DataFrame:
+    """Second-level splitting of oversized IVF buckets (VERDICT r2 item 5).
+
+    Buckets with more than ``split_cap`` members are re-partitioned by a
+    second level of centroids chosen INSIDE the bucket: the sub-seeds are
+    the members whose portable hash (hex60(md5('split:'||id))) is divisible
+    by ``max(split_cap // 4, 1)`` — an expected 4·cnt/cap seeds per bucket
+    (4x oversampling keeps the expected max sub-bucket under the cap;
+    deterministic and engine-reproducible with no per-bucket global sort) —
+    and every member goes to its nearest sub-seed under the same exact-int
+    squared L2 with ties to the lower seed id. Geometry-aware: exact duplicates and tight
+    near-dup groups always co-locate (identical argmin), unlike a hash
+    split. Small buckets keep sub = -1; a hot bucket that drew no seeds
+    falls back to unsplit (sub = -1).
+
+    Cost: assignment joins hot-bucket rows to their bucket's seeds —
+    cnt * (cnt/cap) per bucket, a cap-fold reduction of the cnt^2 pair
+    kernel per level; apply recursively for further levels. Returns
+    ``assigned`` plus a ``sub`` column; pair generation groups on
+    (centroid, sub)."""
+    from .textstats import hex60_col
+
+    cnt = assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("_cnt"))
+    hot = cnt.filter(F.col("_cnt") > split_cap).select("centroid")
+    gate = hex60_col(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
+    stride = max(split_cap // 4, 1)
+    seeds = (
+        assigned.join(F.broadcast(hot), "centroid")
+        .filter(gate % stride == 0)
+        .select(
+            "centroid",
+            F.col("id").alias("_sid"),
+            F.col("v").alias("_sv"),
+            F.col("norm2").alias("_sn"),
+        )
+    )
+    cand = assigned.join(F.broadcast(seeds), "centroid").withColumn(
+        "_sdist",
+        F.col("norm2") + F.col("_sn") - 2 * int_dot(F.col("v"), F.col("_sv")),
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("_sdist"), F.asc("_sid"))
+    subbed = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("_sid").alias("sub"))
+    )
+    return assigned.join(subbed, "id", "left").withColumn(
+        "sub", F.coalesce(F.col("sub"), F.lit(-1).cast("long"))
+    )
+
+
 def bucketed_cosine_pairs(
     emb: DataFrame,
     threshold_micro: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = IVF_K,
+    split_cap: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed cosine near-dup pairs — the sub-quadratic scale path.
 
@@ -276,13 +330,21 @@ def bucketed_cosine_pairs(
     batches — no driver collect, no corpus broadcast). At 10^12 rows the
     centroid count scales ~sqrt(n) so per-bucket all-pairs stays bounded;
     recall tuning = more centroids / multi-probe assignment, exactly as in
-    a production IVF dedup index. The DuckDB oracle reproduces the bucket
-    assignment and the kernel bit-for-bit (:func:`bucketed_pairs_sql`).
+    a production IVF dedup index. ``split_cap`` bounds hot buckets: buckets
+    above the cap are re-clustered by second-level in-bucket seeds
+    (:func:`split_hot_buckets`) and pairs then require a shared
+    (centroid, sub) — the unbounded-quadratic hot bucket is gone. The
+    DuckDB oracle reproduces assignment, split and kernel bit-for-bit
+    (:func:`bucketed_pairs_sql`).
     Emits (id_a, id_b, cosine_micro) with id_a < id_b, micro >= threshold.
     """
     import numpy as np
 
     assigned = ivf_assign(emb, id_col, vec_col, k)
+    keys = ["centroid"]
+    if split_cap is not None:
+        assigned = split_hot_buckets(assigned, split_cap)
+        keys = ["centroid", "sub"]
 
     def kernel(pdf):
         ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -296,7 +358,7 @@ def bucketed_cosine_pairs(
             A, a_ids, a_n = M[s : s + blk], ids[s : s + blk], norms[s : s + blk]
             dots = A @ M.T  # exact int64
             cos = dots.astype(np.float64) / np.sqrt(
-                (a_n[:, None] * norms[None, :]).astype(np.float64)
+                a_n[:, None].astype(np.float64) * norms[None, :].astype(np.float64)
             )
             micro = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
             keep = (micro >= threshold_micro) & (a_ids[:, None] < ids[None, :])
@@ -307,8 +369,8 @@ def bucketed_cosine_pairs(
         return pd.concat(frames) if frames else _pairs_frame([], [], [])
 
     return (
-        assigned.select("id", "v", "centroid")
-        .groupBy("centroid")
+        assigned.select("id", "v", *keys)
+        .groupBy(*keys)
         .applyInPandas(kernel, "id_a long, id_b long, cosine_micro long")
     )
 
@@ -413,7 +475,7 @@ def ivf_topk(
         "centroid",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     cos = int_dot(F.col("qv"), F.col("cv2")).cast("double") / F.sqrt(
-        (F.col("qn") * F.col("nn")).cast("double")
+        F.col("qn").cast("double") * F.col("nn").cast("double")
     )
     scored = cands.withColumn(
         "cosine_micro", F.floor(cos * 1000000.0 + 0.5).cast("bigint")
@@ -450,20 +512,51 @@ def ivf_assign_cte_sql(table: str, id_col: str, vec_col: str, k: int) -> str:
 
 def bucketed_pairs_sql(
     table: str, threshold_micro: int, id_col: str = "vec_id",
-    vec_col: str = "embedding", k: int = IVF_K,
+    vec_col: str = "embedding", k: int = IVF_K, split_cap: int | None = None,
 ) -> str:
     """Oracle twin of :func:`bucketed_cosine_pairs`: same bucket assignment,
-    same exact-int cosine, pairs restricted to a shared centroid."""
+    same optional hot-bucket split, same exact-int cosine, pairs restricted
+    to a shared (centroid[, sub])."""
+    from .textstats import hex60_sql
+
     cos = (
         f"CAST({_dot_sql('a.v', 'b.v')} AS DOUBLE)"
-        " / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))"
+        " / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE))"
     )
+    if split_cap is None:
+        rel, extra = "assigned", ""
+    else:
+        rel = "final"
+        gate = hex60_sql("'split:' || CAST(a.id AS VARCHAR)")
+        sdist = (
+            "a.norm2 + s.sn - 2 * list_sum(list_transform("
+            "generate_series(1, len(a.v)), i -> a.v[i] * s.sv[i]))"
+        )
+        extra = f""",
+        bcnt AS (SELECT centroid, COUNT(*) AS cnt FROM assigned GROUP BY centroid),
+        seeds AS (
+            SELECT a.centroid, a.id AS sid, a.v AS sv, a.norm2 AS sn
+            FROM assigned a JOIN bcnt b USING (centroid)
+            WHERE b.cnt > {split_cap} AND {gate} % {max(split_cap // 4, 1)} = 0
+        ),
+        subbed AS (
+            SELECT id, sid AS sub FROM (
+                SELECT a.id, s.sid,
+                       row_number() OVER (PARTITION BY a.id ORDER BY {sdist}, s.sid) AS rn
+                FROM assigned a JOIN seeds s USING (centroid)
+            ) WHERE rn = 1
+        ),
+        final AS (
+            SELECT a.id, a.v, a.norm2, a.centroid, COALESCE(s.sub, -1) AS sub
+            FROM assigned a LEFT JOIN subbed s USING (id)
+        )"""
+    sub_eq = " AND a.sub = b.sub" if split_cap is not None else ""
     return f"""
-        WITH {ivf_assign_cte_sql(table, id_col, vec_col, k)},
+        WITH {ivf_assign_cte_sql(table, id_col, vec_col, k)}{extra},
         pairs AS (
             SELECT a.id AS id_a, b.id AS id_b, {micro_sql(cos)} AS cosine_micro
-            FROM assigned a JOIN assigned b
-              ON a.centroid = b.centroid AND a.id < b.id
+            FROM {rel} a JOIN {rel} b
+              ON a.centroid = b.centroid{sub_eq} AND a.id < b.id
         )
         SELECT id_a, id_b, cosine_micro FROM pairs
         WHERE cosine_micro >= {threshold_micro}
@@ -491,7 +584,7 @@ def ivf_topk_sql(
         ),
         scored AS (
             SELECT p.query_id, a.id AS neighbor_id,
-                   {micro_sql("CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn * a.norm2 AS DOUBLE))")} AS cosine_micro
+                   {micro_sql("CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.norm2 AS DOUBLE))")} AS cosine_micro
             FROM probes p JOIN assigned a USING (centroid)
             WHERE a.id <> p.query_id
         )
@@ -886,7 +979,7 @@ def ivf_trained_topk_sql(
     cents = f"cents{iters}"
     cos = (
         "CAST(list_sum(list_transform(generate_series(1, len(p.qv)),"
-        " i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn * a.norm2 AS DOUBLE))"
+        " i -> p.qv[i] * a.v[i])) AS DOUBLE) / sqrt(CAST(p.qn AS DOUBLE) * CAST(a.norm2 AS DOUBLE))"
     )
     return f"""
         WITH {kmeans_cte_sql(table, id_col, vec_col, kc, iters)},

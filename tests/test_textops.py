@@ -450,3 +450,58 @@ def test_quota_sample(spark):
     # plan: WindowGroupLimit prunes per-partition before the shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_split_hot_buckets_bounds_and_preserves_duplicates(spark):
+    # deliberately skewed: 4 tight, well-separated micro-clusters all landing
+    # in ONE coarse bucket (k=2: seeds are vecs 0/1, cluster members sit far
+    # from seed 1). The split must (a) break the hot bucket into multiple
+    # sub-buckets bounded by the cap, (b) keep exact duplicates together
+    # (identical vectors have identical argmin), (c) stay oracle-equal.
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    # 4 tight clusters on one-hot directions (unit scale, like real
+    # normalized embeddings — the exact-int kernel assumes |x| <= ~1)
+    for i in range(2, 82):
+        c = [0.0] * 8
+        c[i % 4] = 1.0
+        rows.append((i, [v + rnd.uniform(-0.01, 0.01) for v in c]))
+    # vec 0/1: far-away coarse seeds (all clusters land in bucket 1)
+    rows = [(0, [-1.0] * 8), (1, [1.0] * 8)] + rows
+    rows.append((200, rows[-1][1][:]))  # exact duplicate of vec 81
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 30  # the single hot bucket holds ~81 members
+
+    assigned = sim.split_hot_buckets(sim.ivf_assign(emb, k=2), cap)
+    sizes = [
+        r["n"]
+        for r in assigned.groupBy("centroid", "sub").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) > 2, "hot bucket did not split"
+    assert max(sizes) <= cap, f"sub-bucket exceeds cap: {sizes}"
+    # the exact duplicate pair must share (centroid, sub) and survive
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.bucketed_cosine_pairs(emb, 999000, k=2, split_cap=cap).collect()
+    }
+    assert (81, 200) in pairs
+
+    # oracle parity of the split relation
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = emb.toPandas()
+    con.register("embeddings", pdf)
+    got = {
+        (a, b, m)
+        for a, b, m in con.execute(
+            sim.bucketed_pairs_sql("embeddings", 999000, k=2, split_cap=cap)
+        ).fetchall()
+    }
+    spark_pairs = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.bucketed_cosine_pairs(emb, 999000, k=2, split_cap=cap).collect()
+    }
+    assert spark_pairs == got
