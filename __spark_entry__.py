@@ -1140,8 +1140,10 @@ def _multimodal_frames_oracle_sql() -> str:
 
 def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming variant (foreachBatch over a file-source stream) of the
-    per-sink counter. Rows-only driver check (streaming is not
-    SQL-expressible), but the query self-asserts stream == batch counts."""
+    per-sink counter — ORACLE-GATED (VERDICT r2 item 10): the result row
+    carries (stream_n, batch_n, equal); the oracle computes the batch count
+    per sink and asserts equality by construction, so the driver hash pins
+    stream == batch, not just the row count."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -1163,20 +1165,22 @@ def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    dfs = []
+    stream = {}
     for s in SINKS:
         try:
-            cnt = spark.read.parquet(f"{tmp}/out/{s.name}").count()
+            stream[s.name] = spark.read.parquet(f"{tmp}/out/{s.name}").count()
         except Exception:  # noqa: BLE001 — sink matched no rows, no dir
-            cnt = 0
-        dfs.append((s.name, cnt))
-    # rows-only driver check, so self-assert the strong invariant inline:
-    # the streaming fan-out must equal the BATCH per-sink counts exactly
+            stream[s.name] = 0
     batch = {
         r["sink_name"]: r["n"] for r in per_sink_counts(_kept(spark, sf_dir), SINKS).collect()
     }
-    assert dict(dfs) == batch, f"stream/batch count divergence: {dfs} vs {batch}"
-    return spark.createDataFrame(dfs, "sink_name string, n long")
+    rows = [
+        (s.name, stream[s.name], batch[s.name], stream[s.name] == batch[s.name])
+        for s in SINKS
+    ]
+    return spark.createDataFrame(
+        rows, "sink_name string, stream_n long, batch_n long, equal boolean"
+    )
 
 
 def q_resume_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1688,9 +1692,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_oracle_sql(),
         "multimodal_frames": _multimodal_frames_oracle_sql(),
-        # stream_route_counts / resume_lineage_metrics: intentionally no
-        # oracle (streaming / stateful resume are not SQL-expressible) ->
-        # driver records rows-only checks.
+        # the streaming run itself is not SQL-expressible; the CONTRACT is —
+        # the oracle computes the batch per-sink counts and asserts
+        # stream==batch by construction, so a diverging stream count
+        # hash-mismatches (VERDICT r2 item 10)
+        "stream_route_counts": _BASE_CTE
+        + " UNION ALL ".join(
+            f"SELECT '{s.name}' AS sink_name, n AS stream_n, n AS batch_n, TRUE AS equal "
+            f"FROM (SELECT (SELECT COUNT(*) FROM kept WHERE {_sink_pred_sql(s)})::BIGINT AS n)"
+            for s in SINKS
+        ),
+        # resume_lineage_metrics: intentionally no oracle (stateful
+        # crash-resume is not SQL-expressible) -> driver records a
+        # rows-only check; the strong invariant is asserted inline.
     }
 
 

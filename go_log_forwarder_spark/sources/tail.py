@@ -67,6 +67,173 @@ def tail_batch(
     )
 
 
+def tail_batch_chunked(
+    spark: SparkSession,
+    glob: str,
+    chunk_bytes: int = 64 * 1024 * 1024,
+    offsets: dict[str, tuple[int, int]] | None = None,
+    tag: str = "",
+    host: str = "spark",
+    input_source: str = "tail",
+) -> DataFrame:
+    """Chunked tail for files of ANY size (tail.go:357-471 seek semantics;
+    VERDICT r2 item 6) — the wholetext path loads each file as one row,
+    which is wrong for multi-GB single files.
+
+    Same output contract as :func:`tail_batch` (one row per non-empty
+    trimmed line with exact per-file line numbers), but each file is read
+    as ``chunk_bytes``-sized byte ranges in parallel executor tasks:
+
+    - driver lists files + sizes only (manifest-scale, never row data) and
+      cuts [start, end) chunk specs;
+    - pass A counts newlines per chunk (cheap scan) — the per-chunk counts
+      (bounded by total_bytes/chunk_bytes rows) prefix-sum into each
+      chunk's starting line number;
+    - pass B re-reads each chunk and emits the lines that START inside it,
+      stitching boundary lines by extending past ``end`` to the next
+      newline — every line is owned by exactly one chunk, numbering is
+      byte-exact.
+
+    ``offsets`` maps path -> (byte_offset, last_read_line): the saved tail
+    position (repository.go:50-120); reading resumes at the offset and
+    numbering continues at last_read_line+1. An offset past EOF means the
+    file was truncated/rotated -> seek 0 and restart numbering
+    (tail.go:409-415)."""
+    import glob as _glob
+    import math
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    specs = []  # one row per chunk
+    for path in sorted(_glob.glob(glob)):
+        size = os.path.getsize(path)
+        base, base_line = 0, 0
+        if offsets and path in offsets:
+            off, last_line = offsets[path]
+            if off > size:  # truncation: offset past EOF -> seek 0
+                base, base_line = 0, 0
+            else:
+                base, base_line = off, last_line
+        n = math.ceil((size - base) / chunk_bytes) if size > base else 0
+        for ci in range(n):
+            s = base + ci * chunk_bytes
+            specs.append((path, base, base_line, ci, s, min(s + chunk_bytes, size)))
+
+    spec_schema = T.StructType.fromDDL(
+        "path string, base long, base_line long, ci int, s long, e long"
+    )
+    if not specs:
+        return spark.createDataFrame(
+            [], "raw string, source string, line_num long"
+        ).select(
+            "raw", "source", "line_num",
+            F.lit(tag).alias("tag"), F.lit(host).alias("host"),
+            F.lit(input_source).alias("input_source"),
+            F.current_timestamp().alias("ingest_time"),
+        )
+    spec_df = spark.createDataFrame(specs, spec_schema).repartition(
+        max(len(specs) // 4, 1)
+    )
+
+    def count_newlines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, s, e, ci in zip(pdf["path"], pdf["s"], pdf["e"], pdf["ci"]):
+                with open(path, "rb") as f:
+                    f.seek(int(s))
+                    nl = f.read(int(e) - int(s)).count(b"\n")
+                rows.append((path, int(ci), nl))
+            yield pd.DataFrame(rows, columns=["path", "ci", "nl"])
+
+    # per-chunk newline counts: one small row per chunk (manifest-scale)
+    counts = {
+        (r["path"], r["ci"]): r["nl"]
+        for r in spec_df.mapInPandas(
+            count_newlines, "path string, ci int, nl long"
+        ).collect()
+    }
+    prefix = {}
+    for path, base, base_line, ci, s, e in sorted(specs):
+        key = (path, ci)
+        prev = prefix.get((path, ci - 1))
+        before = 0 if prev is None else prev + counts[(path, ci - 1)]
+        prefix[key] = before
+    spec2 = spark.createDataFrame(
+        [
+            (path, base, base_line, ci, s, e, prefix[(path, ci)])
+            for path, base, base_line, ci, s, e in specs
+        ],
+        "path string, base long, base_line long, ci int, s long, e long, nl_before long",
+    ).repartition(max(len(specs) // 4, 1))
+
+    def emit_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_raw, out_src, out_num = [], [], []
+            for path, base, base_line, s, e, nlb in zip(
+                pdf["path"], pdf["base"], pdf["base_line"], pdf["s"], pdf["e"], pdf["nl_before"]
+            ):
+                base, s, e = int(base), int(s), int(e)
+                with open(path, "rb") as f:
+                    skipped = 0
+                    pos = s
+                    if s > base:
+                        # a line starts at s only if the previous byte is \n;
+                        # otherwise skip to just after the next newline >= s
+                        f.seek(s - 1)
+                        if f.read(1) != b"\n":
+                            # search only inside [s, e): if the first newline
+                            # is at/after e, no line starts in this chunk
+                            while True:
+                                blk = f.read(min(65536, e - f.tell()) or 1)
+                                if not blk or f.tell() > e:
+                                    pos = e
+                                    break
+                                j = blk.find(b"\n")
+                                if j >= 0:
+                                    pos = f.tell() - len(blk) + j + 1
+                                    skipped = 1
+                                    break
+                                if f.tell() >= e:
+                                    pos = e
+                                    break
+                    if pos >= e:
+                        continue
+                    f.seek(pos)
+                    raw = f.read(e - pos)
+                    # extend to complete the final owned line
+                    while not raw.endswith(b"\n"):
+                        blk = f.read(65536)
+                        if not blk:
+                            break
+                        j = blk.find(b"\n")
+                        if j >= 0:
+                            raw += blk[: j + 1]
+                            break
+                        raw += blk
+                    p = pos
+                    for j, seg in enumerate(raw.split(b"\n")):
+                        if p >= e:
+                            break
+                        out_raw.append(seg.decode("utf-8", errors="replace"))
+                        out_src.append(path)
+                        out_num.append(int(base_line) + int(nlb) + skipped + j + 1)
+                        p += len(seg) + 1
+            yield pd.DataFrame({"raw": out_raw, "source": out_src, "line_num": out_num})
+
+    lines = spec2.mapInPandas(emit_lines, "raw string, source string, line_num long")
+    return (
+        lines.select(trim_space(F.col("raw")).alias("raw"), "source", "line_num")
+        .filter(F.length("raw") > 0)
+        .withColumn("tag", F.lit(tag))
+        .withColumn("host", F.lit(host))
+        .withColumn("input_source", F.lit(input_source))
+        .withColumn("ingest_time", F.current_timestamp())
+    )
+
+
 def tail_stream(
     spark: SparkSession,
     directory: str,

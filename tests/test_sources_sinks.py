@@ -597,3 +597,73 @@ def test_go_template_null_fields_do_not_blank_row(spark):
         ).alias("t")
     ).collect()
     assert out[0]["t"] == "t=[] a=1"
+
+
+# --- chunked tail (large single files; tail.go:357-471 seek parity) ---------
+
+
+def _write_log(path, n_lines=400, seed=3):
+    import random
+
+    rnd = random.Random(seed)
+    lines = []
+    for i in range(n_lines):
+        if i % 11 == 0:
+            lines.append("")  # empty lines count but don't emit
+        elif i % 7 == 0:
+            lines.append(f"  padded {i} \t")  # trim parity
+        else:
+            lines.append("x" * rnd.randint(0, 50) + f" line{i}")
+    data = "\n".join(lines)
+    with open(path, "w") as f:
+        f.write(data)
+    return data
+
+
+def test_tail_chunked_matches_wholetext(spark, tmp_path):
+    from go_log_forwarder_spark.sources.tail import tail_batch, tail_batch_chunked
+
+    p = str(tmp_path / "big.log")
+    _write_log(p)
+    # chunk size far smaller than the file: many mid-line boundaries
+    chunked = {
+        (r["line_num"], r["raw"])
+        for r in tail_batch_chunked(spark, p, chunk_bytes=193).collect()
+    }
+    whole = {
+        (r["line_num"], r["raw"])
+        for r in tail_batch(spark, str(tmp_path / "*.log")).collect()
+    }
+    assert chunked == whole and len(chunked) > 200
+
+
+def test_tail_chunked_resume_and_truncation(spark, tmp_path):
+    from go_log_forwarder_spark.sources.tail import tail_batch_chunked
+
+    p = str(tmp_path / "resume.log")
+    data = _write_log(p, n_lines=120, seed=9)
+    full = sorted(
+        (r["line_num"], r["raw"])
+        for r in tail_batch_chunked(spark, p, chunk_bytes=101).collect()
+    )
+    # resume mid-file at a line boundary (the reference commits offsets
+    # after complete lines): pick the byte offset after the 50th newline
+    off = 0
+    for _ in range(50):
+        off = data.index("\n", off) + 1
+    resumed = sorted(
+        (r["line_num"], r["raw"])
+        for r in tail_batch_chunked(
+            spark, p, chunk_bytes=101, offsets={p: (off, 50)}
+        ).collect()
+    )
+    assert resumed == [x for x in full if x[0] > 50]
+
+    # truncation: saved offset beyond EOF -> seek 0, renumber from 1
+    trunc = sorted(
+        (r["line_num"], r["raw"])
+        for r in tail_batch_chunked(
+            spark, p, chunk_bytes=101, offsets={p: (len(data) + 5, 120)}
+        ).collect()
+    )
+    assert trunc == full
