@@ -588,7 +588,12 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     top = decoded.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    # rank over the 20-row post-limit result; the constant-valued (but
+    # non-foldable — a bare literal is optimized away) partition key
+    # silences the benign "No Partition Defined" WindowExec warning
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.desc("n"), F.asc("bigram")
+    )
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -77,7 +77,9 @@ _GO_TIME_TOKENS: list[tuple[str, str | None]] = sorted(
         ("05", "ss"),
         ("5", "s"),
         ("PM", "a"),
-        ("pm", None),  # java.time 'a' only parses upper-case AM/PM
+        # java.time 'a' only parses upper-case AM/PM; go_time_parse
+        # upper-cases the meridiem in the VALUE when the layout used 'pm'
+        ("pm", "a"),
         ("MST", "zzz"),
         ("Z070000", None),
         ("Z07:00", "XXX"),
@@ -116,16 +118,19 @@ def go_layout_to_spark(layout: str) -> str:
     (optional — Go drops the fraction entirely when zero; note java.time
     still requires the full digit count WHEN present, a documented
     divergence for Go's trailing-zero trimming). Known Go tokens with no
-    faithful java.time equivalent (lower-case ``pm``, second-precision zone
-    offsets) raise ``ValueError`` — the reference silently keeps the old
-    timestamp on parse failure (parser.go:17-19), but a config-time unknown
-    layout is a build error here.
+    faithful java.time equivalent (second-precision zone offsets
+    ``Z070000``/``-070000``) raise ``ValueError`` — the reference silently
+    keeps the old timestamp on parse failure (parser.go:17-19), but a
+    config-time unknown layout is a build error here.
 
     Documented divergences: two-digit years 69-99 pivot to 19xx in Go but
     20xx in java.time; ``.999`` fractions must carry the full digit count
-    when present (Go trims trailing zeros). Go's ``_2`` space-padding is
-    handled by :func:`go_time_parse` (value-side pad collapse) — the bare
-    pattern from this function still expects an unpadded day.
+    when present (Go trims trailing zeros). Go's ``_2`` space-padding and
+    lower-case ``pm`` are handled by :func:`go_time_parse` (value-side pad
+    collapse / meridiem upper-casing — the latter is slightly LENIENT:
+    Go's ``pm`` rejects an upper-case "PM" value, this parser accepts it) —
+    the bare pattern from this function alone expects an unpadded day and
+    an upper-case meridiem.
     """
     if layout in GO_TO_SPARK_TIME_LAYOUTS:
         return GO_TO_SPARK_TIME_LAYOUTS[layout]
@@ -197,6 +202,13 @@ def go_time_parse(raw: Column, go_layout: str) -> Column:
         # Go renders the _2 / __2 tokens space-PADDED (" 5"); java.time 'd'
         # has no pad modifier, so collapse the pad spaces in the value
         raw = F.regexp_replace(raw, " {2,}(\\d)", " $1")
+    if "pm" in go_layout:
+        # Go's lower-case 'pm' token parses a lower-case meridiem, which
+        # java.time 'a' rejects — upper-case it in the VALUE. Any am/pm text
+        # in a layout-valid value IS the meridiem (a literal 'pm' in a Go
+        # layout cannot be expressed: it would BE the token), so a blanket
+        # replace is safe; invalid values return NULL either way.
+        raw = F.regexp_replace(F.regexp_replace(raw, "pm", "PM"), "am", "AM")
     return F.try_to_timestamp(raw, F.lit(fmt))
 
 

@@ -233,10 +233,38 @@ def test_go_layout_compiler_golden(layout, expected):
     assert go_layout_to_spark(layout) == expected
 
 
-@pytest.mark.parametrize("layout", ["3:04pm", "15:04:05-070000", "2006-01-02 7"])
+@pytest.mark.parametrize("layout", ["15:04:05-070000", "Z070000", "2006-01-02 7"])
 def test_go_layout_compiler_loud_on_unknown(layout):
     with pytest.raises(ValueError):
         go_layout_to_spark(layout)
+
+
+def test_go_layout_lowercase_pm(spark):
+    # Go's 'pm' token renders/parses a lower-case meridiem; java.time 'a'
+    # only accepts upper-case — go_time_parse upper-cases the value
+    from go_log_forwarder_spark.functions.parsers import go_time_parse
+
+    assert go_layout_to_spark("3:04pm") == "h:mma"
+    df = spark.createDataFrame([("3:04pm",), ("11:59am",), ("nope",)], "s string")
+    got = [
+        r["t"] for r in df.select(go_time_parse(F.col("s"), "3:04pm").alias("t")).collect()
+    ]
+    assert got[0].hour == 15 and got[0].minute == 4
+    assert got[1].hour == 11 and got[1].minute == 59
+    assert got[2] is None
+
+
+def test_go_layout_two_digit_year_pivot_divergence(spark):
+    # DOCUMENTED divergence (parsers.py docstring): Go pivots yy 69-99 to
+    # 19xx, java.time to 20xx. Pin OUR behavior so a silent change trips.
+    from go_log_forwarder_spark.functions.parsers import go_time_parse
+
+    df = spark.createDataFrame([("31 Dec 69",), ("01 Jan 24",)], "s string")
+    got = [
+        r["t"] for r in df.select(go_time_parse(F.col("s"), "02 Jan 06").alias("t")).collect()
+    ]
+    assert got[0].year == 2069  # Go: 1969 — accepted, documented divergence
+    assert got[1].year == 2024  # 00-68: both engines say 20xx
 
 
 def _render_go(layout: str, dt, offset: str = "+0000") -> str:
@@ -256,6 +284,7 @@ def _render_go(layout: str, dt, offset: str = "+0000") -> str:
         ("04", f"{dt.minute:02d}"), ("05", f"{dt.second:02d}"),
         ("06", f"{dt.year % 100:02d}"),
         ("PM", "PM" if dt.hour >= 12 else "AM"),
+        ("pm", "pm" if dt.hour >= 12 else "am"),
         ("-07:00", offset[:3] + ":" + offset[3:]),
         ("-0700", offset),
         ("Z07:00", "Z" if offset == "+0000" else offset[:3] + ":" + offset[3:]),
@@ -290,6 +319,7 @@ def test_go_layout_compiler_roundtrip(spark):
         "2006-01-02T15:04:05.000Z07:00",
         "20060102150405",
         "2006/01/02 03:04:05 PM",
+        "2006/01/02 03:04:05 pm",
     ]
     dts = [
         datetime.datetime(2024, 2, 5, 15, 4, 5, 123000),  # day 5: exercises _2 padding
