@@ -284,6 +284,11 @@ def split_hot_buckets(
     (centroid, sub)."""
     from .textstats import hex60_col
 
+    # assigned feeds FOUR consumers below (counts, seed pick, candidate
+    # join, final join-back); without materialization the whole IVF
+    # assignment (broadcast join + per-id window) re-executes per consumer
+    # — measured 3.5x on the sf0.1 bench
+    assigned = assigned.localCheckpoint(eager=True)
     cnt = assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("_cnt"))
     hot = cnt.filter(F.col("_cnt") > split_cap).select("centroid")
     gate = hex60_col(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
