@@ -35,6 +35,38 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def recover_compaction(path: str) -> str:
+    """Crash recovery for :func:`compact_parquet_dir`'s rename window.
+
+    If ``path`` is missing but a sibling ``<path>__old_<uuid>`` exists, the
+    process died between the two renames — rename the old dir back (its
+    content is intact; the original is never deleted until the new dir is
+    in place). Stray ``<path>__compact_<uuid>`` temp dirs are incomplete
+    outputs and are removed. Returns one of ``'ok'`` (path present, nothing
+    to do), ``'restored'`` (old dir renamed back), ``'missing'`` (no path
+    and no old dir — nothing recoverable)."""
+    parent, base = os.path.split(path.rstrip("/"))
+    leftovers = sorted(
+        f for f in os.listdir(parent or ".") if f.startswith(base + "__")
+    )
+    for f in leftovers:
+        if f.startswith(base + "__compact_"):
+            shutil.rmtree(os.path.join(parent, f))
+    olds = [f for f in leftovers if f.startswith(base + "__old_")]
+    if os.path.exists(path):
+        # a completed swap may still leave an __old_ dir if the crash hit
+        # between the second rename and the rmtree — safe to drop now
+        for f in olds:
+            shutil.rmtree(os.path.join(parent, f))
+        return "ok"
+    if olds:
+        os.rename(os.path.join(parent, olds[0]), path)
+        for f in olds[1:]:
+            shutil.rmtree(os.path.join(parent, f))
+        return "restored"
+    return "missing"
+
+
 def compact_parquet_dir(
     spark: SparkSession, path: str, target_mb: int = DEFAULT_TARGET_MB
 ) -> dict:

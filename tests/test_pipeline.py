@@ -365,3 +365,35 @@ def test_dup_clusters_rejects_nonpositive_max_iters(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="max_iters"):
         dup_clusters(pairs, max_iters=0)
+
+
+def test_recover_compaction(spark, tmp_path):
+    # the documented crash-recovery procedure for the non-atomic rename
+    # window: path missing + __old_ present -> restore; stray __compact_
+    # temp dirs removed; completed state untouched
+    import os
+    import shutil
+
+    from go_log_forwarder_spark.operators.compaction import recover_compaction
+
+    d = str(tmp_path / "sink")
+    spark.range(100).write.parquet(d)
+    rows = spark.read.parquet(d).count()
+
+    assert recover_compaction(d) == "ok"
+
+    # simulate a crash between the two renames
+    old = d + "__old_deadbeef"
+    os.rename(d, old)
+    (tmp_path / "sink__compact_cafe").mkdir()  # stray temp output
+    assert recover_compaction(d) == "restored"
+    assert spark.read.parquet(d).count() == rows
+    assert not os.path.exists(old)
+    assert not (tmp_path / "sink__compact_cafe").exists()
+
+    # leftover __old_ after a COMPLETED swap is dropped
+    shutil.copytree(d, old)
+    assert recover_compaction(d) == "ok"
+    assert not os.path.exists(old)
+
+    assert recover_compaction(str(tmp_path / "never_existed")) == "missing"

@@ -505,3 +505,28 @@ def test_split_hot_buckets_bounds_and_preserves_duplicates(spark):
         for r in sim.bucketed_cosine_pairs(emb, 999000, k=2, split_cap=cap).collect()
     }
     assert spark_pairs == got
+
+
+def test_split_hot_buckets_composes_recursively(spark):
+    # the function composes with itself for deeper levels: re-splitting on
+    # (centroid, sub) as the bucket key further bounds any group still over
+    # the cap. Exercised by renaming the level-1 key into 'centroid'.
+    import random
+
+    rnd = random.Random(5)
+    rows = [
+        (i, [0.5 + rnd.uniform(-0.05, 0.05) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lvl1 = sim.split_hot_buckets(sim.ivf_assign(emb, k=1), 60)
+    relabel = lvl1.select(
+        "id", "v", "norm2",
+        F.dense_rank().over(
+            __import__("pyspark").sql.window.Window.orderBy("centroid", "sub")
+        ).alias("centroid"),
+    )
+    lvl2 = sim.split_hot_buckets(relabel, 60, seed="split2")
+    s1 = [r["n"] for r in lvl1.groupBy("centroid", "sub").agg(F.count("*").alias("n")).collect()]
+    s2 = [r["n"] for r in lvl2.groupBy("centroid", "sub").agg(F.count("*").alias("n")).collect()]
+    assert max(s2) <= max(s1)
+    assert len(s2) >= len(s1)
