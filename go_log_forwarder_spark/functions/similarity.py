@@ -307,13 +307,16 @@ def split_hot_buckets(
         "_sdist",
         F.col("norm2") + F.col("_sn") - 2 * int_dot(F.col("v"), F.col("_sv")),
     )
-    w = Window.partitionBy("id").orderBy(F.asc("_sdist"), F.asc("_sid"))
+    # keyed by (id, centroid), not id alone: under multi-probe assignment a
+    # vector has one membership row PER probed bucket, each sub-assigned
+    # independently within that bucket
+    w = Window.partitionBy("id", "centroid").orderBy(F.asc("_sdist"), F.asc("_sid"))
     subbed = (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("id", F.col("_sid").alias("sub"))
+        .select("id", "centroid", F.col("_sid").alias("sub"))
     )
-    return assigned.join(subbed, "id", "left").withColumn(
+    return assigned.join(subbed, ["id", "centroid"], "left").withColumn(
         "sub", F.coalesce(F.col("sub"), F.lit(-1).cast("long"))
     )
 
@@ -325,6 +328,7 @@ def bucketed_cosine_pairs(
     vec_col: str = "embedding",
     k: int = IVF_K,
     split_cap: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-bucketed cosine near-dup pairs — the sub-quadratic scale path.
 
@@ -338,14 +342,17 @@ def bucketed_cosine_pairs(
     a production IVF dedup index. ``split_cap`` bounds hot buckets: buckets
     above the cap are re-clustered by second-level in-bucket seeds
     (:func:`split_hot_buckets`) and pairs then require a shared
-    (centroid, sub) — the unbounded-quadratic hot bucket is gone. The
-    DuckDB oracle reproduces assignment, split and kernel bit-for-bit
-    (:func:`bucketed_pairs_sql`).
+    (centroid, sub) — the unbounded-quadratic hot bucket is gone.
+    ``nprobe > 1`` assigns each vector to its nprobe nearest buckets
+    (multi-probe: near-boundary pairs that straddle a Voronoi edge become
+    candidates; duplicate pair copies from multiply-shared buckets are
+    dropped). The DuckDB oracle reproduces assignment, split and kernel
+    bit-for-bit (:func:`bucketed_pairs_sql`).
     Emits (id_a, id_b, cosine_micro) with id_a < id_b, micro >= threshold.
     """
     import numpy as np
 
-    assigned = ivf_assign(emb, id_col, vec_col, k)
+    assigned = ivf_assign(emb, id_col, vec_col, k, nprobe=nprobe)
     keys = ["centroid"]
     if split_cap is not None:
         assigned = split_hot_buckets(assigned, split_cap)
@@ -373,11 +380,16 @@ def bucketed_cosine_pairs(
 
         return pd.concat(frames) if frames else _pairs_frame([], [], [])
 
-    return (
+    pairs = (
         assigned.select("id", "v", *keys)
         .groupBy(*keys)
         .applyInPandas(kernel, "id_a long, id_b long, cosine_micro long")
     )
+    if nprobe > 1:
+        # a pair sharing several probed buckets appears once per shared
+        # bucket with an identical cosine — keep one copy
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 # --- IVF (inverted-file) variant --------------------------------------------
@@ -398,9 +410,13 @@ def ivf_assign(
     vec_col: str = "embedding",
     k: int = IVF_K,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid under exact-int squared L2
     ``d = |a|^2 + |c|^2 - 2<a,c>``. Ties break by centroid index.
+    ``nprobe > 1`` emits one row per (vector, probed centroid) for the
+    nprobe nearest buckets — the multi-probe recall knob (near-boundary
+    vectors become candidates in every nearby bucket).
 
     ``centroids`` (cidx int, cv array<bigint>) plugs in a TRAINED quantizer
     (:func:`kmeans_int`); default = the K deterministic seed centroids
@@ -428,7 +444,7 @@ def ivf_assign(
     w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cidx"))
     return (
         joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select("id", "v", "norm2", F.col("cidx").alias("centroid"), "dist")
     )
 
@@ -495,9 +511,12 @@ _IVF_DIST_SQL = (
 )
 
 
-def ivf_assign_cte_sql(table: str, id_col: str, vec_col: str, k: int) -> str:
+def ivf_assign_cte_sql(
+    table: str, id_col: str, vec_col: str, k: int, nprobe: int = 1
+) -> str:
     """Shared DuckDB CTE fragment: quantized rows + seed centroids + the
-    nearest-centroid assignment (the oracle twin of :func:`ivf_assign`)."""
+    nearest-centroid assignment (the oracle twin of :func:`ivf_assign`;
+    ``nprobe`` rows per vector under multi-probe)."""
     return f"""qz AS (
             SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v,
                    {_dot_sql(_quant_sql(vec_col), _quant_sql(vec_col))} AS norm2
@@ -511,17 +530,18 @@ def ivf_assign_cte_sql(table: str, id_col: str, vec_col: str, k: int) -> str:
                 SELECT qz.id, qz.v, qz.norm2, c.cidx,
                        row_number() OVER (PARTITION BY qz.id ORDER BY {_IVF_DIST_SQL}, c.cidx) AS rn
                 FROM qz CROSS JOIN cents c
-            ) WHERE rn = 1
+            ) WHERE rn <= {nprobe}
         )"""
 
 
 def bucketed_pairs_sql(
     table: str, threshold_micro: int, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = IVF_K, split_cap: int | None = None,
+    nprobe: int = 1,
 ) -> str:
-    """Oracle twin of :func:`bucketed_cosine_pairs`: same bucket assignment,
-    same optional hot-bucket split, same exact-int cosine, pairs restricted
-    to a shared (centroid[, sub])."""
+    """Oracle twin of :func:`bucketed_cosine_pairs`: same bucket assignment
+    (multi-probe when ``nprobe > 1``), same optional hot-bucket split, same
+    exact-int cosine, pairs restricted to a shared (centroid[, sub])."""
     from .textstats import hex60_sql
 
     cos = (
@@ -545,21 +565,24 @@ def bucketed_pairs_sql(
             WHERE b.cnt > {split_cap} AND {gate} % {max(split_cap // 4, 1)} = 0
         ),
         subbed AS (
-            SELECT id, sid AS sub FROM (
-                SELECT a.id, s.sid,
-                       row_number() OVER (PARTITION BY a.id ORDER BY {sdist}, s.sid) AS rn
+            SELECT id, centroid, sid AS sub FROM (
+                SELECT a.id, a.centroid, s.sid,
+                       row_number() OVER (PARTITION BY a.id, a.centroid
+                           ORDER BY {sdist}, s.sid) AS rn
                 FROM assigned a JOIN seeds s USING (centroid)
             ) WHERE rn = 1
         ),
         final AS (
             SELECT a.id, a.v, a.norm2, a.centroid, COALESCE(s.sub, -1) AS sub
-            FROM assigned a LEFT JOIN subbed s USING (id)
+            FROM assigned a LEFT JOIN subbed s
+              ON s.id = a.id AND s.centroid = a.centroid
         )"""
     sub_eq = " AND a.sub = b.sub" if split_cap is not None else ""
+    distinct = "DISTINCT " if nprobe > 1 else ""
     return f"""
-        WITH {ivf_assign_cte_sql(table, id_col, vec_col, k)}{extra},
+        WITH {ivf_assign_cte_sql(table, id_col, vec_col, k, nprobe)}{extra},
         pairs AS (
-            SELECT a.id AS id_a, b.id AS id_b, {micro_sql(cos)} AS cosine_micro
+            SELECT {distinct}a.id AS id_a, b.id AS id_b, {micro_sql(cos)} AS cosine_micro
             FROM {rel} a JOIN {rel} b
               ON a.centroid = b.centroid{sub_eq} AND a.id < b.id
         )

@@ -530,3 +530,46 @@ def test_split_hot_buckets_composes_recursively(spark):
     s2 = [r["n"] for r in lvl2.groupBy("centroid", "sub").agg(F.count("*").alias("n")).collect()]
     assert max(s2) <= max(s1)
     assert len(s2) >= len(s1)
+
+
+def test_multiprobe_recovers_boundary_pairs(spark):
+    # two near-identical vectors placed to straddle the Voronoi boundary
+    # between the two coarse seeds: single-probe assignment puts them in
+    # DIFFERENT buckets (pair lost); nprobe=2 makes each a candidate in
+    # both buckets and recovers the pair. Oracle twin must agree.
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed B
+        (2, [0.71, 0.70, 0.0, 0.0]),  # boundary, A side
+        (3, [0.70, 0.71, 0.0, 0.0]),  # boundary, B side — near-dup of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = {
+        (r["id"], r["centroid"]) for r in sim.ivf_assign(emb, k=2, nprobe=1).collect()
+    }
+    assert (2, 0) in cent and (3, 1) in cent  # straddle confirmed
+
+    thr = 990000
+    p1 = {(r["id_a"], r["id_b"]) for r in sim.bucketed_cosine_pairs(emb, thr, k=2).collect()}
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in sim.bucketed_cosine_pairs(emb, thr, k=2, nprobe=2).collect()
+    }
+    assert (2, 3) not in p1
+    assert (2, 3) in p2
+
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    got = {
+        (a, b)
+        for a, b, m in con.execute(
+            sim.bucketed_pairs_sql("embeddings", thr, k=2, nprobe=2)
+        ).fetchall()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.bucketed_cosine_pairs(emb, thr, k=2, nprobe=2).collect()
+    }
+    assert {(a, b) for a, b, _ in full} == got
