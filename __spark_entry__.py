@@ -355,6 +355,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         *ts.token_count_cols(F.col("text"), words=F.col("_ws")),
         *ts.quality_cols(F.col("text"), words=F.col("_ws")),
+        *ts.gopher_cols(F.col("text"), words=F.col("_ws")),
         ts.lang_guess_col(F.col("text"), words=F.col("_ws")).alias("lang_guess"),
         *ts.fingerprint_cols(F.col("text"), words=F.col("_ws")),
     )
@@ -1482,6 +1483,8 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(ts.token_count_sql("text"))
         + ", "
         + ", ".join(ts.quality_sql("text"))
+        + ", "
+        + ", ".join(ts.gopher_sql("text"))
         + ", "
         + ts.lang_guess_sql("text")
         + " AS lang_guess, "

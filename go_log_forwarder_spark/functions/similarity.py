@@ -837,6 +837,160 @@ def pq_adc_topk_sql(
     """
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    S: int = PQ_S,
+    k: int = PQ_K,
+    kc: int = IVF_K,
+) -> DataFrame:
+    """IVF+PQ composition — the production ANN index shape (Jégou et al.
+    2011): the coarse quantizer restricts the search to the query's nprobe
+    nearest buckets, and candidates inside them are scored by PQ
+    asymmetric distance (S table lookups against the query's LUT) — neither
+    the full corpus nor its float vectors are touched at query time.
+    All exact-int arithmetic; emits (query_id, neighbor_id, approx_dot,
+    rank)."""
+    assigned = ivf_assign(emb, id_col, vec_col, kc).select("id", "centroid")
+    codes = (
+        pq_encode(emb, id_col, vec_col, S, k)
+        .select("id", F.posexplode(F.col("codes")).alias("s", "code"))
+        .join(assigned, "id")
+    )
+    # query probes: nprobe nearest coarse buckets (same shape as ivf_topk)
+    qz = emb.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    ).join(queries.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
+    qz = qz.withColumn("qn", int_dot(F.col("qv"), F.col("qv")))
+    ccents = (
+        emb.select(F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("cv"))
+        .filter(F.col("cid") < kc)
+        .withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
+        .select(F.col("cid").cast("int").alias("cidx"), "cv", "cn")
+    )
+    qc = qz.join(F.broadcast(ccents)).withColumn(
+        "dist", F.col("qn") + F.col("cn") - 2 * int_dot(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cidx"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cidx").alias("centroid"))
+    )
+    # per-query LUT of sub-dot-products against the PQ codebook
+    qsubs = _pq_subs(
+        emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")), S
+    ).join(queries.select(F.col(id_col).alias("id")), "id", "left_semi")
+    pcents = _pq_cents(
+        _pq_subs(
+            emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")), S
+        ),
+        k,
+    )
+    lut = qsubs.withColumnRenamed("id", "query_id").join(
+        F.broadcast(pcents), "s"
+    ).select(
+        "query_id", "s", F.col("cidx").alias("code"),
+        int_dot(F.col("sub"), F.col("csub")).alias("part"),
+    )
+    cands = codes.join(F.broadcast(probes), "centroid").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = (
+        cands.join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("part").cast("bigint").alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+
+
+def ivfpq_topk_sql(
+    table: str, query_pred: str, topk: int = 10, nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    S: int = PQ_S, k: int = PQ_K, kc: int = IVF_K,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` (coarse CTEs renamed to avoid
+    colliding with the PQ CTEs)."""
+    width = f"CAST(len(v) / {S} AS INT)"
+    slices = (
+        f"[list_slice(v, i * {width} + 1, (i + 1) * {width})"
+        f" for i in generate_series(0, {S - 1})]"
+    )
+    cdist = (
+        "qz.norm2 + c.cn - 2 * list_sum(list_transform("
+        "generate_series(1, len(qz.v)), i -> qz.v[i] * c.cv[i]))"
+    )
+    pdist = (
+        "list_sum(list_transform(generate_series(1, len(d.sub)), i -> d.sub[i] * d.sub[i]))"
+        " + c.cn - 2 * list_sum(list_transform(generate_series(1, len(d.sub)), i -> d.sub[i] * c.csub[i]))"
+    )
+    return f"""
+        WITH qz AS (
+            SELECT {id_col} AS id, {_quant_sql(vec_col)} AS v,
+                   {_dot_sql(_quant_sql(vec_col), _quant_sql(vec_col))} AS norm2
+            FROM {table}
+        ),
+        ccents AS (
+            SELECT CAST(id AS INT) AS cidx, v AS cv, norm2 AS cn FROM qz WHERE id < {kc}
+        ),
+        cassigned AS (
+            SELECT id, cidx AS centroid FROM (
+                SELECT qz.id, c.cidx,
+                       row_number() OVER (PARTITION BY qz.id
+                           ORDER BY {cdist}, c.cidx) AS rn
+                FROM qz CROSS JOIN ccents c
+            ) WHERE rn = 1
+        ),
+        sub AS (
+            SELECT id, unnest(generate_series(0, {S - 1})) AS s, unnest({slices}) AS sub
+            FROM qz
+        ),
+        pcents AS (
+            SELECT CAST(id AS INT) AS cidx, s, sub AS csub,
+                   {_dot_sql('sub', 'sub')} AS cn
+            FROM sub WHERE id < {k}
+        ),
+        codes AS (
+            SELECT a.id, a.s, a.code, ca.centroid FROM (
+                SELECT id, s, cidx AS code FROM (
+                    SELECT d.id, d.s, c.cidx,
+                           row_number() OVER (PARTITION BY d.id, d.s ORDER BY {pdist}, c.cidx) AS rn
+                    FROM sub d JOIN pcents c USING (s)
+                ) WHERE rn = 1
+            ) a JOIN cassigned ca USING (id)
+        ),
+        probes AS (
+            SELECT id AS query_id, cidx AS centroid FROM (
+                SELECT qz.id, c.cidx,
+                       row_number() OVER (PARTITION BY qz.id ORDER BY {cdist}, c.cidx) AS rn
+                FROM qz CROSS JOIN ccents c
+                WHERE qz.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
+            ) WHERE rn <= {nprobe}
+        ),
+        lut AS (
+            SELECT q.id AS query_id, c.s, c.cidx AS code,
+                   {_dot_sql('q.sub', 'c.csub')} AS part
+            FROM sub q JOIN pcents c USING (s)
+            WHERE q.id IN (SELECT q2.id FROM qz q2 WHERE {query_pred})
+        ),
+        scored AS (
+            SELECT p.query_id, cd.id AS neighbor_id, CAST(SUM(l.part) AS BIGINT) AS approx_dot
+            FROM codes cd
+            JOIN probes p ON p.centroid = cd.centroid AND cd.id <> p.query_id
+            JOIN lut l ON l.query_id = p.query_id AND l.s = cd.s AND l.code = cd.code
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_dot,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= {topk}
+    """
+
+
 def pq_kmeans_cte_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding",
     S: int = PQ_S, k: int = PQ_K, iters: int = 2,

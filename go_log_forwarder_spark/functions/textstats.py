@@ -301,6 +301,51 @@ def lang_guess_sql(text_expr: str) -> str:
     return f"CASE WHEN {count_expr} > 0 THEN {expr} ELSE 'und' END"
 
 
+def gopher_cols(text: Column, words: Column | None = None) -> list[Column]:
+    """Gopher-style word-level repetition/length filters (public: Rae et
+    al. 2021 §A1.1): duplicate-word fraction, most-frequent-word occupancy,
+    short-word (<=2 chars) and long-word (>=8 chars) fractions, max word
+    length. Pure Catalyst higher-order functions — all integer counts until
+    the final micro division."""
+    ws = words if words is not None else words_col(text)
+    n = F.size(ws)
+    distinct_n = F.size(F.array_distinct(ws))
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    short_n = F.size(F.filter(ws, lambda w: F.length(w) <= 2))
+    long_n = F.size(F.filter(ws, lambda w: F.length(w) >= 8))
+    return [
+        micro_col((n - distinct_n).cast("double") / n).alias("dup_word_micro"),
+        micro_col(top_n.cast("double") / n).alias("top_word_micro"),
+        micro_col(short_n.cast("double") / n).alias("short_word_micro"),
+        micro_col(long_n.cast("double") / n).alias("long_word_micro"),
+        F.array_max(F.transform(ws, lambda w: F.length(w))).alias("max_word_len"),
+    ]
+
+
+def gopher_sql(text_expr: str) -> list[str]:
+    ws = words_sql(text_expr)
+    n = f"len({ws})"
+    distinct_n = f"len(list_distinct({ws}))"
+    top_n = (
+        f"list_max(list_transform(list_distinct({ws}),"
+        f" w -> len(list_filter({ws}, x -> x = w))))"
+    )
+    short_n = f"len(list_filter({ws}, w -> length(w) <= 2))"
+    long_n = f"len(list_filter({ws}, w -> length(w) >= 8))"
+    return [
+        f"{micro_sql(f'CAST({n} - {distinct_n} AS DOUBLE) / {n}')} AS dup_word_micro",
+        f"{micro_sql(f'CAST({top_n} AS DOUBLE) / {n}')} AS top_word_micro",
+        f"{micro_sql(f'CAST({short_n} AS DOUBLE) / {n}')} AS short_word_micro",
+        f"{micro_sql(f'CAST({long_n} AS DOUBLE) / {n}')} AS long_word_micro",
+        f"CAST(list_max(list_transform({ws}, w -> length(w))) AS INT) AS max_word_len",
+    ]
+
+
 def fingerprint_cols(text: Column, words: Column | None = None) -> list[Column]:
     """Document fingerprinting: full-text md5 + a rolling min-hash over word
     3-grams (shift-resistant near-dup fingerprint). Pass pre-materialized

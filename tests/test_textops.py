@@ -573,3 +573,49 @@ def test_multiprobe_recovers_boundary_pairs(spark):
         for r in sim.bucketed_cosine_pairs(emb, thr, k=2, nprobe=2).collect()
     }
     assert {(a, b) for a, b, _ in full} == got
+
+
+def test_gopher_cols_golden(spark, docs_df):
+    # "the cat sat on the mat": 6 words, 5 distinct ('the' x2), top word 2,
+    # short words: 'on' (1); long words (>=8): none; max len 3
+    r = docs_df.filter(F.col("doc_id") == 0).select(
+        *ts.gopher_cols(F.col("text"))
+    ).head()
+    assert r["dup_word_micro"] == micro_py(1 / 6)
+    assert r["top_word_micro"] == micro_py(2 / 6)
+    assert r["short_word_micro"] == micro_py(1 / 6)
+    assert r["long_word_micro"] == 0
+    assert r["max_word_len"] == 3
+    # degenerate single-word doc
+    r6 = docs_df.filter(F.col("doc_id") == 6).select(
+        *ts.gopher_cols(F.col("text"))
+    ).head()
+    assert r6["dup_word_micro"] == 0 and r6["top_word_micro"] == 1000000
+
+
+def test_ivfpq_topk_composition(spark):
+    # IVF+PQ: coarse probe restricts candidates, PQ ADC scores them. The
+    # DuckDB twin must agree exactly; the nearest true neighbor must
+    # surface through the composed index on the golden vector set.
+    import duckdb
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS], "vec_id long, embedding array<float>"
+    )
+    out = sim.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") == 0), topk=4, nprobe=2, kc=2, S=2, k=2
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids[0] == 1  # true nearest found through coarse buckets + codes
+
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    got = sorted(
+        con.execute(
+            sim.ivfpq_topk_sql("embeddings", "id = 0", topk=4, nprobe=2, kc=2, S=2, k=2)
+        ).fetchall()
+    )
+    spark_rows = sorted(
+        (r["query_id"], r["neighbor_id"], r["approx_dot"], r["rank"]) for r in out
+    )
+    assert spark_rows == got
