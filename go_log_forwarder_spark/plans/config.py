@@ -63,6 +63,12 @@ def _build_parser(cfg: dict):
             allow_empty=cfg.get("AllowEmpty", True),
             **common,
         )
+    if t == "grok":
+        # extension: %{PATTERN:field} expressions compile onto the same
+        # vectorized regex kernel (functions/grok.py)
+        from ..functions.grok import grok_parser
+
+        return grok_parser(cfg["Pattern"], **common)
     raise ValueError(f"unknown parser type {t!r} (config.go:186-200 analog)")
 
 
@@ -100,6 +106,15 @@ def build_input_df(spark: SparkSession, input_cfg: dict) -> DataFrame:
     t = input_cfg.get("Type", "").lower()
     tag = input_cfg.get("Tag", "") or ""
     if t == "tail":
+        if input_cfg.get("ChunkBytes"):
+            # large-file path: parallel byte-range chunks with byte-exact
+            # line numbers (see sources/tail.py::tail_batch_chunked)
+            from ..sources.tail import tail_batch_chunked
+
+            return tail_batch_chunked(
+                spark, input_cfg["Glob"],
+                chunk_bytes=int(input_cfg["ChunkBytes"]), tag=tag,
+            )
         return tail_batch(spark, input_cfg["Glob"], tag=tag)
     if t == "http":
         # batch analog: a table of (body, remote_addr) request rows

@@ -667,3 +667,30 @@ def test_tail_chunked_resume_and_truncation(spark, tmp_path):
         ).collect()
     )
     assert trunc == full
+
+
+def test_yaml_grok_parser_and_chunked_tail(spark, tmp_path, monkeypatch):
+    logs = tmp_path / "glogs"
+    logs.mkdir()
+    (logs / "app.log").write_text(
+        "\n".join(f"INFO id={i} user={i*2}" for i in range(50)) + "\n"
+    )
+    monkeypatch.setenv("GLFS_GROK_GLOB", str(logs / "*.log"))
+    cfg = """
+Inputs:
+  - Type: "tail"
+    Tag: "app-log"
+    Glob: "${GLFS_GROK_GLOB}"
+    ChunkBytes: 128
+Parsers:
+  - Type: grok
+    Pattern: "%{LOGLEVEL:level} id=%{INT:id} user=%{INT:user}"
+"""
+    plan = load_plan(text=cfg)
+    df = build_pipeline(spark, plan)
+    rows = df.collect()
+    assert len(rows) == 50
+    assert all(r["parsed"]["level"] == "INFO" for r in rows)
+    assert sorted(int(r["parsed"]["id"]) for r in rows) == list(range(50))
+    # chunked path preserved exact line numbers through the YAML route
+    assert sorted(r["line_num"] for r in rows) == list(range(1, 51))
