@@ -837,6 +837,72 @@ def pq_adc_topk_sql(
     """
 
 
+def opq_permutation(
+    emb: DataFrame, S: int = PQ_S, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[int]:
+    """OPQ-lite: an energy-balancing dimension PERMUTATION (the restriction
+    of OPQ's learned rotation to permutation matrices — Ge et al. 2013 §4
+    initialize OPQ exactly this way). Per-dim corpus energy E_j = sum of
+    squared quantized values (exact ints, engine-portable); dims are ranked
+    by energy (ties by index) and dealt round-robin across the S subspaces,
+    so each sub-block carries comparable variance — the failure mode of
+    natural-order PQ (all high-energy dims landing in one subspace) is
+    gone. Driver-side work is one d-row collect (d = vector dimension).
+    Returns the 0-based permutation: output position p holds input dim
+    perm[p]; sub-blocks are contiguous, so downstream PQ slicing is
+    unchanged."""
+    qz = emb.select(quantize(F.col(vec_col)).alias("v"))
+    dims = (
+        qz.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("e"))
+        .collect()
+    )
+    ranked = sorted(dims, key=lambda r: (-r["e"], r["pos"]))
+    subs: list[list[int]] = [[] for _ in range(S)]
+    for r, row in enumerate(ranked):
+        subs[r % S].append(row["pos"])
+    return [p for sub in subs for p in sub]
+
+
+def apply_permutation(emb: DataFrame, perm: list[int], vec_col: str = "embedding") -> DataFrame:
+    """Reorder the vector column by ``perm`` (0-based input dims). Permuting
+    commutes with elementwise quantization, so PQ over the permuted floats
+    is exact."""
+    return emb.withColumn(
+        vec_col,
+        F.array(*[F.element_at(F.col(vec_col), int(p) + 1) for p in perm]),
+    )
+
+
+def opq_perm_table_sql(
+    table: str, S: int = PQ_S, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB twin: a parenthesized subquery yielding ({id_col}, {vec_col})
+    with the SAME energy-balancing permutation applied — pass it as the
+    ``table`` argument of any ANN oracle builder."""
+    qv = _quant_sql(vec_col)
+    return f"""(
+        WITH qz0 AS (SELECT {id_col} AS id, {vec_col} AS fv, {qv} AS v FROM {table}),
+        dims AS (
+            -- the two unnests zip positionally (equal lengths)
+            SELECT dim, SUM(x * x) AS e FROM (
+                SELECT unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+                FROM qz0
+            ) GROUP BY dim
+        ),
+        ranked AS (
+            SELECT dim, row_number() OVER (ORDER BY e DESC, dim) AS rank FROM dims
+        ),
+        perm AS (
+            SELECT dim, row_number() OVER (ORDER BY (rank - 1) % {S}, rank) AS ord
+            FROM ranked
+        )
+        SELECT q.id AS {id_col}, list(q.fv[p.dim] ORDER BY p.ord) AS {vec_col}
+        FROM qz0 q CROSS JOIN perm p GROUP BY q.id
+    )"""
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,

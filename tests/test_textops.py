@@ -619,3 +619,55 @@ def test_ivfpq_topk_composition(spark):
         (r["query_id"], r["neighbor_id"], r["approx_dot"], r["rank"]) for r in out
     )
     assert spark_rows == got
+
+
+def test_opq_permutation_balances_and_matches_oracle(spark):
+    # skewed energy layout: first half of the dims carry all the energy.
+    # Natural-order PQ puts them all in subspace 0; the OPQ-lite
+    # permutation deals them round-robin so per-subspace energy evens out,
+    # and the DuckDB twin reproduces the permuted search bit-for-bit.
+    import random
+
+    import duckdb
+
+    rnd = random.Random(13)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(4)] + [rnd.uniform(-0.01, 0.01) for _ in range(4)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    S = 2
+    perm = sim.opq_permutation(emb, S=S)
+    assert sorted(perm) == list(range(8))
+    # each subspace gets 2 hot (dims 0-3) and 2 cold dims
+    assert sum(1 for p in perm[:4] if p < 4) == 2
+
+    def sub_energy(vectors, order):
+        es = []
+        for s in range(S):
+            block = order[s * 4:(s + 1) * 4]
+            es.append(sum(v[p] * v[p] for _, v in vectors for p in block))
+        return es
+
+    nat = sub_energy(rows, list(range(8)))
+    bal = sub_energy(rows, perm)
+    assert max(bal) - min(bal) < max(nat) - min(nat)
+
+    got_spark = sorted(
+        (r["query_id"], r["neighbor_id"], r["approx_dot"], r["rank"])
+        for r in sim.pq_adc_topk(
+            sim.apply_permutation(emb, perm),
+            emb.filter(F.col("vec_id") < 2),
+            topk=5, S=S, k=4,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", spark.createDataFrame(rows, "vec_id long, embedding array<double>").toPandas())
+    got_duck = sorted(
+        con.execute(
+            sim.pq_adc_topk_sql(
+                sim.opq_perm_table_sql("embeddings", S=S), "id < 2", topk=5, S=S, k=4
+            )
+        ).fetchall()
+    )
+    assert got_spark == got_duck
