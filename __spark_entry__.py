@@ -297,27 +297,36 @@ def q_tokens_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_tokens_raw(serialize_tokens(salted)).withColumn(
         "tag", F.concat(F.lit("tok-"), F.col("parsed.source"))
     )
-    first_tok = F.element_at(F.col("parsed.tokens"), 1).cast("bigint")
     routed = route_exploded(parsed, TOK_SINKS)
-    by_sink = (
-        routed.groupBy(F.col("sink").alias("key"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("parsed.n_tok").cast("bigint")).alias("sum_n_tok"),
-            F.sum(first_tok).alias("sum_first_tok"),
-        )
-        .select(F.lit("sink").alias("kind"), "key", "n", "sum_n_tok", "sum_first_tok")
+    # ONE scan of the (expensive) serialize->parse pipeline: each routed row
+    # contributes its sink group, and the catch-all t_all copy — which holds
+    # every row exactly once — additionally contributes its source group.
+    # A union of two aggregations would recompute the parse per branch.
+    # flatten nested fields BEFORE the explode: generate + struct-field
+    # extraction in one projection trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    # in Catalyst's column pruning (Spark 4.1)
+    flat = routed.select(
+        "sink",
+        F.col("parsed.source").alias("src"),
+        F.col("parsed.n_tok").cast("bigint").alias("n_tok"),
+        F.element_at(F.col("parsed.tokens"), 1).cast("bigint").alias("first_tok"),
     )
-    by_source = (
-        parsed.groupBy(F.col("parsed.source").alias("key"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("parsed.n_tok").cast("bigint")).alias("sum_n_tok"),
-            F.sum(first_tok).alias("sum_first_tok"),
-        )
-        .select(F.lit("source").alias("kind"), "key", "n", "sum_n_tok", "sum_first_tok")
+    group_entry = lambda kind, key: F.struct(  # noqa: E731
+        kind.alias("kind"), key.alias("key")
     )
-    return by_sink.unionByName(by_source)
+    groups = F.concat(
+        F.array(group_entry(F.lit("sink"), F.col("sink"))),
+        F.when(
+            F.col("sink") == "t_all",
+            F.array(group_entry(F.lit("source"), F.col("src"))),
+        ).otherwise(F.array().cast("array<struct<kind:string,key:string>>")),
+    )
+    keyed = flat.select(F.explode(groups).alias("g"), "n_tok", "first_tok")
+    return keyed.groupBy(F.col("g.kind").alias("kind"), F.col("g.key").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        F.sum("first_tok").alias("sum_first_tok"),
+    )
 
 
 # ---------------------------------------------------------------------------
