@@ -13,12 +13,16 @@ Catalyst (one projection, no Python in the hot path):
 - ``{{if <field>}} ... {{else}} ... {{end}}`` with Go template truth over
   the map<string,string> parity view (present and non-empty; Go's numeric
   falsiness is not distinguishable once values are strings — documented)
+- ``{{range .Data}} ... {{else}} ... {{end}}``: iterate the map in sorted
+  key order (text/template sorts map keys of basic types); ``{{.}}`` in
+  the body is the current VALUE; the else branch renders for an empty/nil
+  map. Compiles to ``transform`` over sorted ``map_entries`` + a
+  ``array_join`` — a higher-order Column, still zero Python.
+- ``{{with <field>}} ... {{else}} ... {{end}}``: rebind the dot to the
+  field when truthy (same truth rule as if), else branch otherwise.
 
-Anything else (range, with, pipelines, functions, variables) raises
-``ValueError`` at build time — loud beats silently-wrong output. Those
-constructs are driver-side control flow over row-local data; they would
-compile the same way (nested whens / higher-order transforms) when a real
-config needs them.
+Anything else (pipelines, functions, variables, range over non-``.Data``)
+raises ``ValueError`` at build time — loud beats silently-wrong output.
 """
 
 from __future__ import annotations
@@ -74,13 +78,34 @@ class _Field(_Node):
 
 
 @dataclass
+class _Dot(_Node):
+    """``{{.}}`` — the rebound dot inside a range/with body."""
+
+
+@dataclass
 class _If(_Node):
     cond: _Field
     then: list[_Node] = field(default_factory=list)
     orelse: list[_Node] = field(default_factory=list)
 
 
-def _parse_field(expr: str, template: str) -> _Field:
+@dataclass
+class _Range(_Node):
+    target: _Field
+    then: list[_Node] = field(default_factory=list)
+    orelse: list[_Node] = field(default_factory=list)
+
+
+@dataclass
+class _With(_Node):
+    target: _Field
+    then: list[_Node] = field(default_factory=list)
+    orelse: list[_Node] = field(default_factory=list)
+
+
+def _parse_field(expr: str, template: str) -> _Field | _Dot:
+    if expr == ".":
+        return _Dot()
     m = _FIELD.match(expr)
     if not m or m.group(1) not in ("Timestamp", "Tag", "Data"):
         raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
@@ -115,6 +140,22 @@ def _parse(template: str) -> list[_Node]:
         pos = m.end()
         if action.startswith("if "):
             node = _If(_parse_field(action[3:].strip(), template))
+            emit(node)
+            stack.append(node)
+        elif action.startswith("range "):
+            target = _parse_field(action[6:].strip(), template)
+            if not isinstance(target, _Field) or target.root != "Data" or target.key:
+                raise ValueError(
+                    f"range target must be .Data (the only collection) in {template!r}"
+                )
+            node = _Range(target)
+            emit(node)
+            stack.append(node)
+        elif action.startswith("with "):
+            target = _parse_field(action[5:].strip(), template)
+            if isinstance(target, _Dot):
+                raise ValueError(f"with target cannot be '.' in {template!r}")
+            node = _With(target)
             emit(node)
             stack.append(node)
         elif action == "else":
@@ -166,16 +207,51 @@ def compile_go_template(
         item = parsed.getItem(f.key)
         return item.isNotNull() & (item != "")
 
-    def render(nodes: list[_Node]) -> Column:
+    def render(nodes: list[_Node], dot: Column | None = None) -> Column:
         parts = []
         for n in nodes:
             if isinstance(n, _Text):
                 parts.append(F.lit(n.text))
+            elif isinstance(n, _Dot):
+                if dot is None:
+                    raise ValueError(
+                        f"{{{{.}}}} outside a range/with body in {template!r}"
+                    )
+                parts.append(F.coalesce(dot, F.lit("")))
             elif isinstance(n, _Field):
                 parts.append(render_field(n))
+            elif isinstance(n, _Range):
+                entries = F.array_sort(F.map_entries(parsed))
+                body = F.array_join(
+                    F.transform(
+                        entries, lambda e: render(n.then, dot=e.getField("value"))
+                    ),
+                    "",
+                )
+                parts.append(
+                    F.when(
+                        F.coalesce(F.size(entries), F.lit(0)) > 0, body
+                    ).otherwise(render(n.orelse, dot))
+                )
+            elif isinstance(n, _With):
+                if n.target.root == "Timestamp":
+                    val = go_time_string(event_time)
+                elif n.target.root == "Tag":
+                    val = tag
+                elif n.target.key is None:
+                    val = go_map_string(parsed)
+                else:
+                    val = parsed.getItem(n.target.key)
+                parts.append(
+                    F.when(truthy(n.target), render(n.then, dot=val)).otherwise(
+                        render(n.orelse, dot)
+                    )
+                )
             else:
                 parts.append(
-                    F.when(truthy(n.cond), render(n.then)).otherwise(render(n.orelse))
+                    F.when(truthy(n.cond), render(n.then, dot)).otherwise(
+                        render(n.orelse, dot)
+                    )
                 )
         return F.concat(*parts) if parts else F.lit("")
 

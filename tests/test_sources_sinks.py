@@ -406,12 +406,24 @@ def test_go_template_full(spark, event_df):
         "[b=2]",
         "-",
     ]
+    # range over the map: sorted key order, {{.}} = value, else on nil map
+    assert render("{{range .Data}}[{{.}}]{{end}}") == ["[1][2]", ""]
+    assert render("{{range .Data}}x{{else}}EMPTY{{end}}") == ["xx", "EMPTY"]
+    # outer fields stay visible inside the body; bodies nest
+    assert render("{{range .Data}}({{.Tag}}={{.}}){{end}}") == [
+        "(app-x=1)(app-x=2)",
+        "",
+    ]
+    # with rebinds the dot when truthy
+    assert render("{{with .Data.a}}A={{.}}{{else}}noA{{end}}") == ["A=1", "noA"]
+    assert render("{{with .Tag}}t:{{.}}{{end}}") == ["t:app-x", "t:app-y"]
 
 
 def test_go_template_loud_on_unsupported():
     from go_log_forwarder_spark.functions.gotemplate import compile_go_template
 
-    for tpl in ("{{range .Data}}x{{end}}", "{{.Nope}}", "{{if .Data}}x", "{{printf .Tag}}"):
+    # range/with are SUPPORTED since round 3; these remain build errors
+    for tpl in ("{{range .Tag}}x{{end}}", "{{.Nope}}", "{{if .Data}}x", "{{printf .Tag}}", "{{.}}"):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
 
