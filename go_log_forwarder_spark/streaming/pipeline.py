@@ -47,15 +47,20 @@ def run_foreach_batch(
     checkpoint_dir: str,
     trigger_seconds: int = 1,
     tag_col: str = "tag",
+    shed_per_source: int | None = None,
 ):
     """engine.go:137-143 fan-out per micro-batch: the batch pipeline_fn runs
     unchanged inside foreachBatch; each sink appends its tag-filtered view.
+    ``shed_per_source`` opts into :func:`shed_load` BEFORE the pipeline
+    (the reference sheds at the input edge, tcp.go:199-205).
 
     Exactly-once: the checkpoint commit log plus idempotent per-batch
     parquet appends under ``batch=<id>`` directories (a retried batch id
     overwrites its own directory)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if shed_per_source is not None:
+            batch_df = shed_load(batch_df, max_per_source=shed_per_source)
         kept = pipeline_fn(batch_df)
         kept = kept.persist()
         try:
@@ -73,6 +78,39 @@ def run_foreach_batch(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
+    )
+
+
+def shed_load(
+    df: DataFrame,
+    max_per_source: int = 300,
+    source_col: str = "source",
+    order_cols: tuple[str, ...] = ("line_num",),
+) -> DataFrame:
+    """Load shedding (tcp.go:199-205 drop-when-full; tail.go:95,208-213
+    300-deep file-event queue) as a DETERMINISTIC per-micro-batch operator:
+    each source keeps its first ``max_per_source`` events in arrival order
+    (``order_cols``); overflow is dropped. Shed counts, when wanted, are
+    ``df.groupBy(source).count()`` minus the survivors' — never a marker
+    column, which would force the full window to materialize.
+
+    Deliberately stronger than the reference: its shedding depends on racy
+    channel occupancy (which events drop is timing-dependent), while this
+    policy is a pure function of the batch — same inputs, same survivors,
+    on any cluster. Plans as WindowGroupLimit (per-partition top-n BEFORE
+    the shuffle), so a hot source never serializes its whole backlog
+    through one task. Opt-in: pass ``shed_per_source`` to
+    :func:`run_foreach_batch`; the default pipeline — like the gated
+    queries — does not shed."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_source)
+        .drop("_rn")
     )
 
 

@@ -243,3 +243,31 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         for r in spark.sql("select * from sessions").collect()
     }
     assert (1, t0 + 3600 * us, t0 + 3600 * us, 1) in rows  # timed out
+
+
+def test_shed_load_deterministic_and_bounded(spark):
+    # tcp.go:199-205 / tail.go queue-depth analog: first N per source in
+    # arrival order survive; overflow marked; pure function of the batch
+    from go_log_forwarder_spark.streaming.pipeline import shed_load
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i // 3 + 1, f"e{i}") for i in range(30)],
+        "source string, line_num long, raw string",
+    )
+    kept = shed_load(df, max_per_source=4)
+    assert kept.count() == 12
+    per_src = {
+        r["source"]: sorted(r["lines"])
+        for r in kept.groupBy("source").agg(
+            F.collect_list("line_num").alias("lines")
+        ).collect()
+    }
+    assert all(v == [1, 2, 3, 4] for v in per_src.values())
+    # deterministic: re-evaluation yields the identical survivor set
+    again = shed_load(df, max_per_source=4)
+    assert sorted(r["raw"] for r in again.collect()) == sorted(
+        r["raw"] for r in kept.collect()
+    )
+    # plans as WindowGroupLimit (per-partition top-n before the shuffle)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
