@@ -643,54 +643,23 @@ def q_tokens_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     start offset, first/last window id, whether it crosses a window
     boundary.
 
-    Scale shape (VERDICT r2 item 3): a two-level distributed prefix sum.
-    doc_id space is cut into PACK_BLOCK-wide blocks (floor(doc_id/B) is
-    monotone in doc_id, so block order == doc order); level 1 cumsums WITHIN
-    (source, block) — the window key is high-cardinality, every task bounded
-    by B rows; level 2 cumsums the per-block subtotals per source — a window
-    over the AGGREGATED relation (rows/B, millions of rows per source would
-    be thousands of blocks), broadcast-joined back. The former single window
-    partitioned by source alone serialized each source into ONE task.
-    Identical output to the naive per-source running cumsum (same oracle)."""
-    from pyspark.sql.window import Window
+    Scale shape (VERDICT r2 item 3): functions/packing.py::pack_concat_map
+    — a two-level distributed prefix sum (cumsum within (source, doc-block)
+    + per-source cumsum over the block subtotals, broadcast-joined back) so
+    no single task ever sorts a whole source. Identical output to the naive
+    per-source running cumsum (same oracle; many-block path pinned by
+    test_pack_concat_map_many_blocks and the sf0.1 gate)."""
+    from go_log_forwarder_spark.functions.packing import pack_concat_map
 
     # doc_id is 'doc-' + zero-padded digits: the numeric suffix is monotone
-    # in the string ordering, so suffix//B blocks respect doc_id order
-    toks = tokens_from_events(spark, sf_dir).withColumn(
-        "_blk",
-        F.floor(F.substring("doc_id", 5, 12).cast("bigint") / PACK_BLOCK).cast("bigint"),
-    )
-    w_intra = (
-        Window.partitionBy("source", "_blk")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    intra = toks.withColumn("_iend", F.sum("n_tok").over(w_intra))
-    # per-(source, block) subtotals -> running offset of each block = sum of
-    # all PRECEDING blocks' subtotals within the source
-    w_blk = (
-        Window.partitionBy("source")
-        .orderBy("_blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = (
-        toks.groupBy("source", "_blk")
-        .agg(F.sum("n_tok").alias("_btot"))
-        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_blk), F.lit(0)))
-        .select("source", "_blk", "_boff")
-    )
-    joined = intra.join(F.broadcast(boff), ["source", "_blk"])
-    end = F.col("_boff") + F.col("_iend")
-    win_first = F.floor((end - F.col("n_tok")) / PACK_CTX).cast("bigint")
-    win_last = F.floor((end - 1) / PACK_CTX).cast("bigint")
-    return joined.select(
-        "doc_id",
-        "source",
-        (end - F.col("n_tok")).cast("bigint").alias("start_off"),
-        win_first.alias("win_first"),
-        win_last.alias("win_last"),
-        (win_first != win_last).alias("crosses_boundary"),
-    )
+    # in the string ordering, so suffix-based blocks respect doc_id order
+    toks = tokens_from_events(spark, sf_dir)
+    return pack_concat_map(
+        toks.select("doc_id", "source", "n_tok"),
+        ctx=PACK_CTX,
+        ord_col=F.substring("doc_id", 5, 12).cast("bigint"),
+        block=PACK_BLOCK,
+    ).select("doc_id", "source", "start_off", "win_first", "win_last", "crosses_boundary")
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -397,3 +397,41 @@ def test_recover_compaction(spark, tmp_path):
     assert not os.path.exists(old)
 
     assert recover_compaction(str(tmp_path / "never_existed")) == "missing"
+
+
+def test_pack_concat_map_many_blocks(spark):
+    # the two-level prefix sum must equal the naive per-group cumsum when
+    # groups span MANY blocks (block=8 << rows/group) — the cross-block
+    # offset path that real sf dirs barely exercise
+    import random
+
+    from pyspark.sql.window import Window
+
+    from go_log_forwarder_spark.functions.packing import pack_concat_map
+
+    rnd = random.Random(17)
+    rows = [
+        (i, f"g{i % 3}", rnd.randint(1, 40)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ord long, source string, n_tok long")
+    got = {
+        r["ord"]: (r["start_off"], r["win_first"], r["win_last"], r["crosses_boundary"])
+        for r in pack_concat_map(df, ctx=64, ord_col=F.col("ord"), block=8).collect()
+    }
+    w = Window.partitionBy("source").orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    end = F.sum("n_tok").over(w)
+    naive = {
+        r["ord"]: (r["s"], r["wf"], r["wl"], r["cb"])
+        for r in df.select(
+            "ord",
+            (end - F.col("n_tok")).cast("bigint").alias("s"),
+            F.floor((end - F.col("n_tok")) / 64).cast("bigint").alias("wf"),
+            F.floor((end - 1) / 64).cast("bigint").alias("wl"),
+            (
+                F.floor((end - F.col("n_tok")) / 64) != F.floor((end - 1) / 64)
+            ).alias("cb"),
+        ).collect()
+    }
+    assert got == naive

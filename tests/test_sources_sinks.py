@@ -706,3 +706,46 @@ Parsers:
     assert sorted(int(r["parsed"]["id"]) for r in rows) == list(range(50))
     # chunked path preserved exact line numbers through the YAML route
     assert sorted(r["line_num"] for r in rows) == list(range(1, 51))
+
+
+def test_tail_chunked_property_parity(spark, tmp_path):
+    # property-style sweep: random contents (empty lines, CRLF, pad-space,
+    # unicode, no trailing newline) x awkward chunk sizes must match the
+    # wholetext reference reader exactly. Deterministic seeds — a generic
+    # @given would respawn Spark jobs per example; 12 cases cover the
+    # boundary space (chunk > file, chunk 1, prime sizes).
+    import random
+
+    from go_log_forwarder_spark.sources.tail import tail_batch, tail_batch_chunked
+
+    for seed in range(4):
+        rnd = random.Random(seed)
+        lines = []
+        for _ in range(rnd.randint(0, 60)):
+            kind = rnd.randrange(5)
+            if kind == 0:
+                lines.append("")
+            elif kind == 1:
+                lines.append(" " * rnd.randint(1, 3) + "x" * rnd.randint(1, 9))
+            elif kind == 2:
+                lines.append("ü" * rnd.randint(1, 5))  # multi-byte utf-8
+            else:
+                lines.append("w" * rnd.randint(0, 30))
+        body = "\n".join(lines)
+        if rnd.random() < 0.5:
+            body += "\n"
+        d = tmp_path / f"prop{seed}"
+        d.mkdir()
+        (d / "f.log").write_text(body, encoding="utf-8")
+        whole = {
+            (r["line_num"], r["raw"])
+            for r in tail_batch(spark, str(d / "*.log")).collect()
+        }
+        for chunk in (1, 7, 64, 10**6):
+            got = {
+                (r["line_num"], r["raw"])
+                for r in tail_batch_chunked(
+                    spark, str(d / "*.log"), chunk_bytes=chunk
+                ).collect()
+            }
+            assert got == whole, (seed, chunk)
