@@ -1169,8 +1169,12 @@ def q_stream_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_resume_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/lineage/resume (north rule): run the resumable pipeline
-    with an injected crash, resume, return per-run totals. Rows-only check —
-    the invariant (resume equals clean run) is asserted in-line."""
+    with an injected crash, resume, return per-run totals. ORACLE-GATED
+    since round 3: the crash/resume mechanics are not SQL-expressible, but
+    their REQUIRED OUTCOME is — exactly-once totals equal the single-pass
+    counts over the input (the pipeline_metrics math), so any duplicate or
+    lost unit after the crash+resume shifts rows_in/parsed/dropped/routed
+    and hash-mismatches."""
     import tempfile
 
     from go_log_forwarder_spark.plans.lineage import ResumablePipeline
@@ -1678,6 +1682,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_oracle_sql(),
         "multimodal_frames": _multimodal_frames_oracle_sql(),
+        # the crash/resume run itself is not SQL-expressible; its
+        # exactly-once CONTRACT is — committed totals must equal the
+        # single-pass pipeline counts over the input (units = the fixed
+        # repartition(6) file count)
+        "resume_lineage_metrics": _BASE_CTE
+        + f"""
+            , routed AS ({_routed_union_sql()})
+            SELECT 'driver' AS run_id, 'committed' AS status,
+                   6::BIGINT AS units,
+                   (SELECT COUNT(*) FROM base)::BIGINT AS rows_in,
+                   (SELECT COUNT(k) FROM base)::BIGINT AS rows_parsed,
+                   ((SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM kept))::BIGINT AS rows_dropped,
+                   (SELECT COUNT(*) FROM routed)::BIGINT AS rows_routed
+        """,
         # the streaming run itself is not SQL-expressible; the CONTRACT is —
         # the oracle computes the batch per-sink counts and asserts
         # stream==batch by construction, so a diverging stream count
@@ -1688,9 +1706,6 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT (SELECT COUNT(*) FROM kept WHERE {_sink_pred_sql(s)})::BIGINT AS n)"
             for s in SINKS
         ),
-        # resume_lineage_metrics: intentionally no oracle (stateful
-        # crash-resume is not SQL-expressible) -> driver records a
-        # rows-only check; the strong invariant is asserted inline.
     }
 
 

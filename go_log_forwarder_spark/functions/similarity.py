@@ -309,12 +309,11 @@ def split_hot_buckets(
     )
     # keyed by (id, centroid), not id alone: under multi-probe assignment a
     # vector has one membership row PER probed bucket, each sub-assigned
-    # independently within that bucket
-    w = Window.partitionBy("id", "centroid").orderBy(F.asc("_sdist"), F.asc("_sid"))
-    subbed = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "centroid", F.col("_sid").alias("sub"))
+    # independently within that bucket. min_by over a (dist, sid) struct =
+    # argmin with the deterministic tie-break, as a map-side-combinable
+    # hash aggregate — no per-key sort the way a row_number window needs
+    subbed = cand.groupBy("id", "centroid").agg(
+        F.min_by("_sid", F.struct(F.col("_sdist"), F.col("_sid"))).alias("sub")
     )
     return assigned.join(subbed, ["id", "centroid"], "left").withColumn(
         "sub", F.coalesce(F.col("sub"), F.lit(-1).cast("long"))
