@@ -354,16 +354,21 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             out_content = []
             for content in pdf["content"]:
                 buf = bytes(content) if content is not None else b""
-                sw, sh, pix = decode_png_pixels(buf)
-                resized = bytearray(width * height * 3)
-                for y in range(height):
-                    sy = y * sh // height
-                    for x in range(width):
-                        sx = x * sw // width
-                        src = (sy * sw + sx) * 3
-                        dst = (y * width + x) * 3
-                        resized[dst : dst + 3] = pix[src : src + 3]
-                out_content.append(encode_png(width, height, bytes(resized)))
+                try:
+                    sw, sh, pix = decode_png_pixels(buf)
+                    resized = bytearray(width * height * 3)
+                    for y in range(height):
+                        sy = y * sh // height
+                        for x in range(width):
+                            sx = x * sw // width
+                            src = (sy * sw + sx) * 3
+                            dst = (y * width + x) * 3
+                            resized[dst : dst + 3] = pix[src : src + 3]
+                    out_content.append(encode_png(width, height, bytes(resized)))
+                except (ValueError, struct.error, zlib.error):
+                    # corrupt-input tolerance, parser-chain style: the row
+                    # survives with NULL content instead of failing the batch
+                    out_content.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

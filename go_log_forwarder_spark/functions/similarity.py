@@ -836,6 +836,44 @@ def pq_adc_topk_sql(
     """
 
 
+def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize an embedding column — pure Catalyst (aggregate for the
+    norm, transform for the divide); zero vectors pass through unchanged.
+    The standard pre-step before cosine search reduces to dot products."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return df.withColumn(
+        vec_col,
+        F.when(norm > 0, F.transform(v, lambda x: x.cast("double") / norm)).otherwise(
+            F.transform(v, lambda x: x.cast("double"))
+        ),
+    )
+
+
+def mean_pool(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean of each group's vectors (chunk embeddings -> one
+    document embedding — the pooling step of long-doc embedding pipelines).
+    Scalable shape: posexplode to (group, pos) keys -> partial-aggregated
+    avg -> array rebuild with a deterministic sort; the vectors themselves
+    never cross a shuffle, only (group, pos, x) triples do."""
+    dims = df.select(group_col, F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    agg = dims.groupBy(group_col, "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return agg.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda e: e.getField("m"),
+        ).alias(vec_col)
+    )
+
+
 def opq_permutation(
     emb: DataFrame, S: int = PQ_S, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[int]:

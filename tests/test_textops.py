@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from go_log_forwarder_spark.functions import dedup as dd
+from go_log_forwarder_spark.functions import multimodal as mm
 from go_log_forwarder_spark.functions import similarity as sim
 from go_log_forwarder_spark.functions import textstats as ts
 
@@ -671,3 +672,39 @@ def test_opq_permutation_balances_and_matches_oracle(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+def test_normalize_and_mean_pool(spark):
+    emb = spark.createDataFrame(
+        [("d1", [3.0, 4.0]), ("d1", [1.0, 0.0]), ("d2", [0.0, 0.0])],
+        "doc string, embedding array<double>",
+    )
+    normed = {
+        tuple(round(x, 6) for x in r["embedding"])
+        for r in sim.normalize_vectors(emb).collect()
+    }
+    assert (0.6, 0.8) in normed and (1.0, 0.0) in normed
+    assert (0.0, 0.0) in normed  # zero vector passes through
+
+    pooled = {
+        r["doc"]: [round(x, 6) for x in r["embedding"]]
+        for r in sim.mean_pool(emb, "doc").collect()
+    }
+    assert pooled == {"d1": [2.0, 2.0], "d2": [0.0, 0.0]}
+
+
+def test_resize_corrupt_png_yields_null_content(spark):
+    import pandas as pd
+
+    buf = bytearray(mm.synth_png(3))
+    buf[12] ^= 0xFF  # break the IHDR CRC
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "image", bytes(buf)), (1, "image", mm.synth_png(1))],
+            columns=["media_id", "kind", "content"],
+        ),
+        schema="media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in mm.resize_images(df, 4, 4).collect()}
+    assert rows[0]["content"] is None  # corrupt flagged, batch survives
+    assert mm.decode_png_pixels(bytes(rows[1]["content"]))[0] == 4
