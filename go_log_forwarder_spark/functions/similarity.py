@@ -440,6 +440,20 @@ def ivf_assign(
     joined = qz.join(F.broadcast(cents)).withColumn(
         "dist", F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("v"), F.col("cv"))
     )
+    if nprobe == 1:
+        # min_by over a (dist, cidx) struct = the same argmin + tie-break as
+        # the row_number window, but as a map-side-combinable hash aggregate:
+        # the shuffle moves n rows instead of the n*k joined relation, and
+        # no per-key sort runs
+        m = F.min_by(
+            F.struct("v", "norm2", F.col("cidx").alias("centroid"), "dist"),
+            F.struct("dist", "cidx"),
+        )
+        return (
+            joined.groupBy("id")
+            .agg(m.alias("_m"))
+            .select("id", "_m.v", "_m.norm2", "_m.centroid", "_m.dist")
+        )
     w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cidx"))
     return (
         joined.withColumn("_rn", F.row_number().over(w))
@@ -680,11 +694,16 @@ def pq_train_codebooks(
             "dist",
             F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("sub"), F.col("csub")),
         )
-        w = Window.partitionBy("id", "s").orderBy(F.asc("dist"), F.asc("cidx"))
+        # per-(id, subspace) argmin via min_by (see ivf_assign for why)
         assigned = (
-            joined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("s", "sub", F.col("cidx").alias("centroid"))
+            joined.groupBy("id", "s")
+            .agg(
+                F.min_by(
+                    F.struct("sub", F.col("cidx").alias("centroid")),
+                    F.struct("dist", "cidx"),
+                ).alias("_m")
+            )
+            .select("s", "_m.sub", "_m.centroid")
         )
         dims = assigned.select("s", "centroid", F.posexplode(F.col("sub")).alias("pos", "x"))
         sums = dims.groupBy("s", "centroid", "pos").agg(
@@ -733,8 +752,10 @@ def pq_encode(
         + F.col("cn")
         - 2 * int_dot(F.col("sub"), F.col("csub")),
     )
-    w = Window.partitionBy("id", "s").orderBy(F.asc("dist"), F.asc("cidx"))
-    assigned = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # per-(id, subspace) argmin via min_by (see ivf_assign for why)
+    assigned = joined.groupBy("id", "s").agg(
+        F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx")
+    )
     return assigned.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("s", F.col("cidx").alias("code")))),
@@ -1341,11 +1362,17 @@ def kmeans_int(
         joined = qz.join(F.broadcast(cn)).withColumn(
             "dist", F.col("norm2") + F.col("cn") - 2 * int_dot(F.col("v"), F.col("cv"))
         )
-        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cidx"))
+        # argmin via min_by hash aggregate (same tie-break as a row_number
+        # window; map-side combine, no n*k shuffle, no per-key sort)
         assigned = (
-            joined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", "v", F.col("cidx").alias("centroid"))
+            joined.groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("v", F.col("cidx").alias("centroid")),
+                    F.struct("dist", "cidx"),
+                ).alias("_m")
+            )
+            .select("id", "_m.v", "_m.centroid")
         )
         dims = assigned.select(
             "centroid", F.posexplode(F.col("v")).alias("pos", "x")
