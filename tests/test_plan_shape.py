@@ -242,3 +242,15 @@ def test_length_stats_is_histogram_not_global_sort(spark):
     assert "row_number" not in plan
     # map-side partial aggregation of the histogram counts
     assert "partial_count" in plan
+
+
+def test_tokens_group_counts_single_scan(spark):
+    """Sink AND source aggregates must come from ONE pass of the
+    serialize->parse pipeline (a union of two aggregations would recompute
+    the parse per branch): exactly one events scan in the plan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_tokens_group_counts(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan

@@ -729,6 +729,8 @@ def test_tail_chunked_property_parity(spark, tmp_path):
                 lines.append(" " * rnd.randint(1, 3) + "x" * rnd.randint(1, 9))
             elif kind == 2:
                 lines.append("ü" * rnd.randint(1, 5))  # multi-byte utf-8
+            elif kind == 3:
+                lines.append("crlf" + str(rnd.randint(0, 99)) + "\r")  # CRLF file
             else:
                 lines.append("w" * rnd.randint(0, 30))
         body = "\n".join(lines)
