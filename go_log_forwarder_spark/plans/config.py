@@ -48,6 +48,63 @@ class PipelinePlan:
     sink_configs: dict[str, dict] = field(default_factory=dict)
 
 
+# ---------------------------------------------------------------------------
+# plugin registries (§2.10): the reference extends via 4 plugin interfaces +
+# a registry switch (config.go:162-244); here a plugin is a builder function
+# keyed by its Type string. register_parser/register_filter make the config
+# surface user-extensible without touching this module.
+# ---------------------------------------------------------------------------
+
+
+def _build_json_parser(cfg: dict, common: dict):
+    return JsonParser(**common)
+
+
+def _build_regex_parser(cfg: dict, common: dict):
+    return RegexParser(
+        pattern=cfg["Pattern"], allow_empty=cfg.get("AllowEmpty", True), **common
+    )
+
+
+def _build_grok_parser(cfg: dict, common: dict):
+    # extension: %{PATTERN:field} expressions compile onto the same
+    # vectorized regex kernel (functions/grok.py)
+    from ..functions.grok import grok_parser
+
+    return grok_parser(cfg["Pattern"], **common)
+
+
+PARSER_BUILDERS = {
+    "json": _build_json_parser,
+    "regex": _build_regex_parser,
+    "grok": _build_grok_parser,
+}
+
+
+def register_parser(type_name: str, builder) -> None:
+    """Add a parser plugin: ``builder(cfg_dict, common_kwargs) -> parser``
+    (the ParserRegistry analog, config.go:186-200)."""
+    PARSER_BUILDERS[type_name.lower()] = builder
+
+
+def _build_grep_filter(cfg: dict):
+    return GrepFilter(
+        include=tuple(cfg.get("Include", []) or []),
+        exclude=tuple(cfg.get("Exclude", []) or []),
+        op=(cfg.get("Op") or "and").lower(),
+        match=cfg.get("Match", "*") or "*",
+        name=cfg.get("Name", "grep"),
+    )
+
+
+FILTER_BUILDERS = {"grep": _build_grep_filter}
+
+
+def register_filter(type_name: str, builder) -> None:
+    """Add a filter plugin: ``builder(cfg_dict) -> filter`` (config.go:204-218)."""
+    FILTER_BUILDERS[type_name.lower()] = builder
+
+
 def _build_parser(cfg: dict):
     t = cfg.get("Type", "").lower()
     common = dict(
@@ -55,34 +112,18 @@ def _build_parser(cfg: dict):
         time_key=cfg.get("TimeKey", ""),
         time_format=cfg.get("TimeFormat") or GO_RFC3339,
     )
-    if t == "json":
-        return JsonParser(**common)
-    if t == "regex":
-        return RegexParser(
-            pattern=cfg["Pattern"],
-            allow_empty=cfg.get("AllowEmpty", True),
-            **common,
-        )
-    if t == "grok":
-        # extension: %{PATTERN:field} expressions compile onto the same
-        # vectorized regex kernel (functions/grok.py)
-        from ..functions.grok import grok_parser
-
-        return grok_parser(cfg["Pattern"], **common)
-    raise ValueError(f"unknown parser type {t!r} (config.go:186-200 analog)")
+    builder = PARSER_BUILDERS.get(t)
+    if builder is None:
+        raise ValueError(f"unknown parser type {t!r} (config.go:186-200 analog)")
+    return builder(cfg, common)
 
 
 def _build_filter(cfg: dict):
     t = cfg.get("Type", "").lower()
-    if t == "grep":
-        return GrepFilter(
-            include=tuple(cfg.get("Include", []) or []),
-            exclude=tuple(cfg.get("Exclude", []) or []),
-            op=(cfg.get("Op") or "and").lower(),
-            match=cfg.get("Match", "*") or "*",
-            name=cfg.get("Name", "grep"),
-        )
-    raise ValueError(f"unknown filter type {t!r} (config.go:204-218 analog)")
+    builder = FILTER_BUILDERS.get(t)
+    if builder is None:
+        raise ValueError(f"unknown filter type {t!r} (config.go:204-218 analog)")
+    return builder(cfg)
 
 
 def load_plan(path: str | None = None, text: str | None = None) -> PipelinePlan:

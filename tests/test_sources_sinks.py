@@ -751,3 +751,35 @@ def test_tail_chunked_property_parity(spark, tmp_path):
                 ).collect()
             }
             assert got == whole, (seed, chunk)
+
+
+def test_parser_registry_extension(spark, tmp_path, monkeypatch):
+    # §2.10 plugin surface: a user-registered parser Type builds through
+    # the same YAML path as the built-ins (ParserRegistry analog)
+    from go_log_forwarder_spark.plans.config import (
+        PARSER_BUILDERS,
+        register_parser,
+    )
+    from go_log_forwarder_spark.functions.parsers import RegexParser
+
+    def kv_parser(cfg, common):
+        # trivial custom format: "key=value" pairs
+        return RegexParser(pattern=r"^(?P<key>\w+)=(?P<val>\w+)$", **common)
+
+    register_parser("kv", kv_parser)
+    try:
+        logs = tmp_path / "kvlogs"
+        logs.mkdir()
+        (logs / "a.log").write_text("x=1\ny=2\n")
+        monkeypatch.setenv("GLFS_KV_GLOB", str(logs / "*.log"))
+        plan = load_plan(text="""
+Inputs:
+  - Type: tail
+    Glob: "${GLFS_KV_GLOB}"
+Parsers:
+  - Type: kv
+""")
+        rows = build_pipeline(spark, plan).collect()
+        assert {(r["parsed"]["key"], r["parsed"]["val"]) for r in rows} == {("x", "1"), ("y", "2")}
+    finally:
+        PARSER_BUILDERS.pop("kv", None)
