@@ -75,7 +75,9 @@ def tail_batch_chunked(
     tag: str = "",
     host: str = "spark",
     input_source: str = "tail",
-) -> DataFrame:
+    return_state: bool = False,
+    complete_files: bool = True,
+):
     """Chunked tail for files of ANY size (tail.go:357-471 seek semantics;
     VERDICT r2 item 6) — the wholetext path loads each file as one row,
     which is wrong for multi-GB single files.
@@ -98,7 +100,16 @@ def tail_batch_chunked(
     position (repository.go:50-120); reading resumes at the offset and
     numbering continues at last_read_line+1. An offset past EOF means the
     file was truncated/rotated -> seek 0 and restart numbering
-    (tail.go:409-415)."""
+    (tail.go:409-415).
+
+    ``complete_files=False`` switches to LIVE-TAIL semantics: only
+    newline-terminated lines are emitted (an unterminated final line is
+    left for the next run, like the reference's scanner waiting for its
+    '\n'); the default emits it (wholetext batch parity — the file is
+    complete). ``return_state=True`` additionally returns
+    {path: (next_offset, last_read_line)} — next_offset sits after the
+    last TERMINATED line, so committing it after a successful sink write
+    yields exactly-once tailing across runs (see TailOffsetStore)."""
     import glob as _glob
     import math
     import os
@@ -126,7 +137,7 @@ def tail_batch_chunked(
         "path string, base long, base_line long, ci int, s long, e long"
     )
     if not specs:
-        return spark.createDataFrame(
+        empty = spark.createDataFrame(
             [], "raw string, source string, line_num long"
         ).select(
             "raw", "source", "line_num",
@@ -134,6 +145,7 @@ def tail_batch_chunked(
             F.lit(input_source).alias("input_source"),
             F.current_timestamp().alias("ingest_time"),
         )
+        return (empty, dict(offsets or {})) if return_state else empty
     spec_df = spark.createDataFrame(specs, spec_schema).repartition(
         max(len(specs) // 4, 1)
     )
@@ -144,17 +156,19 @@ def tail_batch_chunked(
             for path, s, e, ci in zip(pdf["path"], pdf["s"], pdf["e"], pdf["ci"]):
                 with open(path, "rb") as f:
                     f.seek(int(s))
-                    nl = f.read(int(e) - int(s)).count(b"\n")
-                rows.append((path, int(ci), nl))
-            yield pd.DataFrame(rows, columns=["path", "ci", "nl"])
+                    buf = f.read(int(e) - int(s))
+                nl = buf.count(b"\n")
+                last = buf.rfind(b"\n")
+                last_end = int(s) + last + 1 if last >= 0 else -1
+                rows.append((path, int(ci), nl, last_end))
+            yield pd.DataFrame(rows, columns=["path", "ci", "nl", "last_end"])
 
     # per-chunk newline counts: one small row per chunk (manifest-scale)
-    counts = {
-        (r["path"], r["ci"]): r["nl"]
-        for r in spec_df.mapInPandas(
-            count_newlines, "path string, ci int, nl long"
-        ).collect()
-    }
+    arows = spec_df.mapInPandas(
+        count_newlines, "path string, ci int, nl long, last_end long"
+    ).collect()
+    counts = {(r["path"], r["ci"]): r["nl"] for r in arows}
+    last_ends = {(r["path"], r["ci"]): r["last_end"] for r in arows}
     prefix = {}
     for path, base, base_line, ci, s, e in sorted(specs):
         key = (path, ci)
@@ -214,9 +228,17 @@ def tail_batch_chunked(
                             break
                         raw += blk
                     p = pos
-                    for j, seg in enumerate(raw.split(b"\n")):
+                    segs = raw.split(b"\n")
+                    terminated_last = raw.endswith(b"\n")
+                    for j, seg in enumerate(segs):
                         if p >= e:
                             break
+                        if (
+                            not complete_files
+                            and j == len(segs) - 1
+                            and not terminated_last
+                        ):
+                            break  # live-tail mode: wait for the line's \n
                         out_raw.append(seg.decode("utf-8", errors="replace"))
                         out_src.append(path)
                         out_num.append(int(base_line) + int(nlb) + skipped + j + 1)
@@ -224,7 +246,7 @@ def tail_batch_chunked(
             yield pd.DataFrame({"raw": out_raw, "source": out_src, "line_num": out_num})
 
     lines = spec2.mapInPandas(emit_lines, "raw string, source string, line_num long")
-    return (
+    out = (
         lines.select(trim_space(F.col("raw")).alias("raw"), "source", "line_num")
         .filter(F.length("raw") > 0)
         .withColumn("tag", F.lit(tag))
@@ -232,6 +254,29 @@ def tail_batch_chunked(
         .withColumn("input_source", F.lit(input_source))
         .withColumn("ingest_time", F.current_timestamp())
     )
+    if not return_state:
+        return out
+    # per-file commit state: next offset sits after the last TERMINATED
+    # line in live-tail mode (an unterminated tail is re-read next run),
+    # or at the read end in complete-files mode; last_read_line counts
+    # terminated lines (newlines) past base_line. Untouched files keep
+    # their previous offsets.
+    state: dict[str, tuple[int, int]] = dict(offsets or {})
+    per_file: dict[str, list] = {}
+    for path, base, base_line, ci, s_, e_ in specs:
+        t = per_file.setdefault(path, [base, int(base_line), base, 0, base])
+        le = last_ends[(path, ci)]
+        if le >= 0:
+            t[2] = max(t[2], le)
+        t[3] += counts[(path, ci)]
+        t[4] = max(t[4], e_)
+    for path, (base, base_line, nl_end, nl_total, read_end) in per_file.items():
+        state[path] = (
+            (read_end, base_line + nl_total)
+            if complete_files
+            else (nl_end, base_line + nl_total)
+        )
+    return out, state
 
 
 def tail_stream(
@@ -254,3 +299,58 @@ def tail_stream(
         .withColumn("input_source", F.lit(input_source))
         .withColumn("ingest_time", F.current_timestamp())
     )
+
+
+class TailOffsetStore:
+    """``path -> (offset, last_read_line)`` persisted as ONE JSON file via
+    atomic temp+rename — the SQLite offset repository analog
+    (repository.go:50-120), minus the 100 ms timer: commit points are
+    explicit, AFTER the sink write succeeds (so a crash re-reads, never
+    skips)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict[str, tuple[int, int]]:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return {k: (v[0], v[1]) for k, v in json.load(f).items()}
+
+    def save(self, offsets: dict[str, tuple[int, int]]) -> None:
+        import json
+        import os
+        import uuid
+
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({k: list(v) for k, v in offsets.items()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.path)
+
+
+def tail_batch_resumable(
+    spark: SparkSession,
+    glob: str,
+    store: TailOffsetStore,
+    chunk_bytes: int = 64 * 1024 * 1024,
+    **kwargs,
+):
+    """Resumable tail over growing files of any size: read from the saved
+    offsets (live-tail semantics — only newline-terminated lines), return
+    ``(df, commit)``. Materialize ``df`` into your sink, then call
+    ``commit()`` to persist the new offsets; a crash before commit re-reads
+    the same lines (pair with an idempotent sink, like the lineage
+    pipeline's dynamic-partition overwrite) — never skips data."""
+    offsets = store.load()
+    df, state = tail_batch_chunked(
+        spark, glob, chunk_bytes, offsets,
+        return_state=True, complete_files=False, **kwargs,
+    )
+    return df, (lambda: store.save(state))

@@ -783,3 +783,46 @@ Parsers:
         assert {(r["parsed"]["key"], r["parsed"]["val"]) for r in rows} == {("x", "1"), ("y", "2")}
     finally:
         PARSER_BUILDERS.pop("kv", None)
+
+
+def test_tail_resumable_growing_file(spark, tmp_path):
+    # live tailing across runs: append-only file, explicit offset commits,
+    # exactly-once lines with continued numbering; unterminated tail lines
+    # wait for their newline (tail.go scanner semantics)
+    from go_log_forwarder_spark.sources.tail import (
+        TailOffsetStore,
+        tail_batch_resumable,
+    )
+
+    log = tmp_path / "grow.log"
+    store = TailOffsetStore(str(tmp_path / "offsets.json"))
+
+    log.write_text("a1\na2\npartial")  # no trailing newline
+    df, commit = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
+    got1 = sorted((r["line_num"], r["raw"]) for r in df.collect())
+    assert got1 == [(1, "a1"), (2, "a2")]  # 'partial' not emitted yet
+    commit()
+
+    # the partial line completes and more lines arrive
+    with open(log, "a") as f:
+        f.write("-done\nb4\n")
+    df2, commit2 = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
+    got2 = sorted((r["line_num"], r["raw"]) for r in df2.collect())
+    assert got2 == [(3, "partial-done"), (4, "b4")]
+    commit2()
+
+    # nothing new -> nothing emitted; crash-without-commit re-reads
+    df3, commit3 = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
+    assert df3.count() == 0
+    with open(log, "a") as f:
+        f.write("c5\n")
+    df4, _no_commit = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
+    assert [(r["line_num"], r["raw"]) for r in df4.collect()] == [(5, "c5")]
+    df5, commit5 = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
+    assert [(r["line_num"], r["raw"]) for r in df5.collect()] == [(5, "c5")]  # re-read, not skipped
+    commit5()
+
+    # truncation: smaller file -> seek 0, renumber
+    log.write_text("z1\n")
+    df6, commit6 = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
+    assert [(r["line_num"], r["raw"]) for r in df6.collect()] == [(1, "z1")]
