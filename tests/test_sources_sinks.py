@@ -826,3 +826,59 @@ def test_tail_resumable_growing_file(spark, tmp_path):
     log.write_text("z1\n")
     df6, commit6 = tail_batch_resumable(spark, str(log), store, chunk_bytes=5)
     assert [(r["line_num"], r["raw"]) for r in df6.collect()] == [(1, "z1")]
+
+
+def test_live_tail_pipeline_end_to_end(spark, tmp_path):
+    # the reference's actual workflow: tail a growing log -> json parse ->
+    # grep -> tag route -> sink, resuming from committed offsets. Crash
+    # between sink write and offset commit re-reads (at-least-once into an
+    # idempotent overwrite), never skips.
+    from go_log_forwarder_spark.functions.filters import GrepFilter
+    from go_log_forwarder_spark.functions.parsers import JsonParser, ParserChain
+    from go_log_forwarder_spark.operators.routing import SinkSpec, route_exploded
+    from go_log_forwarder_spark.sources.tail import (
+        TailOffsetStore,
+        tail_batch_resumable,
+    )
+
+    log = tmp_path / "app.log"
+    store = TailOffsetStore(str(tmp_path / "offsets.json"))
+    sinks = [SinkSpec("all", "*"), SinkSpec("err", "app-err*")]
+    out = tmp_path / "out"
+
+    def run_once(commit=True):
+        df, do_commit = tail_batch_resumable(spark, str(log), store, chunk_bytes=64)
+        df = df.withColumn(
+            "tag",
+            F.when(F.col("raw").contains('"error"'), F.lit("app-err")).otherwise(
+                F.lit("app-ok")
+            ),
+        )
+        parsed = ParserChain([JsonParser()]).apply(df)
+        kept = GrepFilter(op="and", include=('"level":"(error|info)"',)).apply(parsed)
+        routed = route_exploded(kept, sinks)
+        n = {}
+        for s in sinks:
+            sdf = routed.filter(F.col("sink") == s.name)
+            sdf.write.mode("append").parquet(str(out / s.name))
+            n[s.name] = sdf.count()
+        if commit:
+            do_commit()
+        return n
+
+    log.write_text('{"level":"info","k":"1"}\n{"level":"error","k":"2"}\n')
+    n1 = run_once()
+    assert n1 == {"all": 2, "err": 1}
+
+    with open(log, "a") as f:
+        f.write('{"level":"error","k":"3"}\n{"level":"debug","k":"4"}\n')
+    n2 = run_once()
+    assert n2 == {"all": 1, "err": 1}  # debug line grep-dropped
+
+    # nothing new
+    assert run_once() == {"all": 0, "err": 0}
+    # crash before commit -> the same lines come back next run
+    with open(log, "a") as f:
+        f.write('{"level":"info","k":"5"}\n')
+    assert run_once(commit=False) == {"all": 1, "err": 0}
+    assert run_once() == {"all": 1, "err": 0}
