@@ -93,12 +93,13 @@ EXCLUDED = {
         " measured via its parts (dedup_clusters); gated at sf0.01"
     ),
     "stream_route_counts": (
-        "streaming demo with temp-dir side effects + an inline batch-equality"
-        " assert; latency is trigger-bound, not engine throughput"
+        "streaming demo with temp-dir side effects (oracle-gated for"
+        " correctness); latency is trigger-bound, not engine throughput"
     ),
     "resume_lineage_metrics": (
-        "crash/resume demo: run cost is dominated by injected failure +"
-        " lineage I/O in a temp dir, not query throughput"
+        "crash/resume demo (oracle-gated for correctness): run cost is"
+        " dominated by injected failure + lineage I/O in a temp dir, not"
+        " query throughput"
     ),
 }
 

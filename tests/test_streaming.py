@@ -271,3 +271,35 @@ def test_shed_load_deterministic_and_bounded(spark):
     # plans as WindowGroupLimit (per-partition top-n before the shuffle)
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_stream_shed_per_source_wiring(spark, tmp_path):
+    # run_foreach_batch(shed_per_source=N) applies the deterministic quota
+    # at the input edge of every micro-batch (tcp.go:199-205 placement)
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField("source", T.StringType()),
+            T.StructField("line_num", T.LongType()),
+        ]
+    )
+    indir = str(tmp_path / "in")
+    batch = _mk_batch(spark, 0, 40).select(
+        "*",
+        F.when(F.col("id") % 2 == 0, F.lit("srcA")).otherwise(F.lit("srcB")).alias("source"),
+        (F.col("id") / 2 + 1).cast("long").alias("line_num"),
+    )
+    batch.coalesce(1).write.mode("append").parquet(indir)
+    q = run_foreach_batch(
+        stream_events(spark, indir, schema), _pipeline, SINKS,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), shed_per_source=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = spark.read.parquet(str(tmp_path / "out" / "all"))
+    assert kept.count() == 10  # 5 per source
+    per_src = {
+        r["source"]: sorted(r["l"])
+        for r in kept.groupBy("source").agg(F.collect_list("line_num").alias("l")).collect()
+    }
+    assert all(v == [1, 2, 3, 4, 5] for v in per_src.values())
