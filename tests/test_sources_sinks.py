@@ -882,3 +882,27 @@ def test_live_tail_pipeline_end_to_end(spark, tmp_path):
         f.write('{"level":"info","k":"5"}\n')
     assert run_once(commit=False) == {"all": 1, "err": 0}
     assert run_once() == {"all": 1, "err": 0}
+
+
+def test_tail_chunked_moderate_file(spark, tmp_path):
+    # realistic chunk scale (multi-MB chunks over a multi-chunk file):
+    # structural invariants hold without a wholetext comparison frame
+    p = str(tmp_path / "mid.log")
+    n = 120_000
+    with open(p, "w") as f:
+        for i in range(n):
+            f.write(f"line {i} {'x' * (i % 40)}\n")
+    from go_log_forwarder_spark.sources.tail import tail_batch_chunked
+
+    df = tail_batch_chunked(spark, p, chunk_bytes=2 * 1024 * 1024)
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.min("line_num").alias("lo"),
+        F.max("line_num").alias("hi"),
+        F.countDistinct("line_num").alias("d"),
+    ).head()
+    assert (stats["n"], stats["lo"], stats["hi"], stats["d"]) == (n, 1, n, n)
+    sample = {r["line_num"]: r["raw"] for r in df.filter(F.col("line_num").isin(1, 60000, 120000)).collect()}
+    assert sample[1] == "line 0"
+    assert sample[60000].startswith("line 59999 ")
+    assert sample[120000].startswith("line 119999 ")
