@@ -1062,7 +1062,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks chunks, verifies PNG CRC32s, and reads the actual header fields
     (IHDR dims, fmt sample rate + data size, avih frame timing). The oracle
     re-derives every field as pure arithmetic from media_id — any parsing
-    bug hash-mismatches."""
+    bug hash-mismatches. Image rows with media_id % 15 == 12 carry
+    CRC-valid containers with UNSUPPORTED IHDR profiles (16-bit / paletted
+    / interlaced, VERDICT r3 item 7); the oracle pins them as flagged
+    (magic_ok = false, zeroed features) — not fatal, not silently decoded."""
     n = _events(spark, sf_dir).count()
     media = mm.synth_media(spark, min(n, 2000))
     return mm.extract_features(media)
@@ -1081,18 +1084,24 @@ def _multimodal_oracle_sql() -> str:
         )
         SELECT media_id,
                CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               -- unsupported-profile PNGs (i % 15 = 12) keep the same byte
+               -- length (same stored IDAT, only IHDR profile bytes differ)
                CAST(CASE k3 WHEN 0 THEN 68 + (1 + (i*7) % 8) * (1 + 3 * (1 + i % 8))
                             WHEN 1 THEN 44 + 2 * (100 + i % 400)
                             ELSE 96 + 2 * (i % 9) END AS BIGINT) AS n_bytes,
-               TRUE AS magic_ok,
-               CAST(CASE k3 WHEN 0 THEN 1 + i % 8 WHEN 1 THEN 0 ELSE 16 + i % 64 END AS INT) AS width,
-               CAST(CASE k3 WHEN 0 THEN 1 + (i*7) % 8 WHEN 1 THEN 0 ELSE 9 + i % 64 END AS INT) AS height,
-               CAST(CASE k3 WHEN 1 THEN 8000 + (i % 8) * 1000 ELSE 0 END AS INT) AS sample_rate,
-               CAST(CASE k3 WHEN 0 THEN 0 WHEN 1 THEN 100 + i % 400
-                            ELSE 30 + i % 300 END AS INT) AS n_frames,
-               CAST(CASE k3 WHEN 0 THEN 0
-                            WHEN 1 THEN ((100 + i % 400) * 1000) // (8000 + (i % 8) * 1000)
-                            ELSE ((30 + i % 300) * (1000000 // (10 + i % 20))) // 1000
+               NOT (k3 = 0 AND i % 15 = 12) AS magic_ok,
+               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 THEN 0
+                         WHEN k3 = 0 THEN 1 + i % 8 WHEN k3 = 1 THEN 0
+                         ELSE 16 + i % 64 END AS INT) AS width,
+               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 THEN 0
+                         WHEN k3 = 0 THEN 1 + (i*7) % 8 WHEN k3 = 1 THEN 0
+                         ELSE 9 + i % 64 END AS INT) AS height,
+               CAST(CASE WHEN k3 = 1 THEN 8000 + (i % 8) * 1000 ELSE 0 END AS INT) AS sample_rate,
+               CAST(CASE WHEN k3 = 0 THEN 0 WHEN k3 = 1 THEN 100 + i % 400
+                         ELSE 30 + i % 300 END AS INT) AS n_frames,
+               CAST(CASE WHEN k3 = 0 THEN 0
+                         WHEN k3 = 1 THEN ((100 + i % 400) * 1000) // (8000 + (i % 8) * 1000)
+                         ELSE ((30 + i % 300) * (1000000 // (10 + i % 20))) // 1000
                     END AS INT) AS duration_ms
         FROM media
     """

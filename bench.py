@@ -132,7 +132,7 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     qs_all = set(qs)
-    result = {
+    detail = {
         "metric": "end-to-end parse→route→aggregate wall time, all headline queries",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -144,8 +144,29 @@ def main() -> None:
     # exclusion reason — nothing silently dropped
     missing = qs_all - set(HEADLINE) - set(EXCLUDED)
     if missing:
-        result["UNACCOUNTED"] = sorted(missing)
-    print(json.dumps(result))
+        detail["UNACCOUNTED"] = sorted(missing)
+
+    # Stdout stays SHORT (VERDICT r3 item 1: the round-3 single-line JSON
+    # outgrew the driver's stdout-tail capture and shipped "parsed": null).
+    # Headline line first — compact, always parseable on its own — then the
+    # per-query timings at reduced precision on a second line; the full-
+    # precision record (timings + exclusion reasons) goes to a file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    headline = {
+        "metric": "headline wall time, all benchmarked queries (min-of-N each)",
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_excluded": len(detail["excluded"]),
+        "sf": detail["sf"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(headline))
+    print(json.dumps({"queries": {k: round(v, 2) for k, v in timings.items()}}))
 
 
 if __name__ == "__main__":

@@ -62,8 +62,16 @@ def synth_png(i: int) -> bytes:
     """Spec-valid 8-bit RGB PNG: w=1+i%8, h=1+(7i)%8, pixel (x,y) =
     ((i+x)%256, (3i+y)%256, (x*y+i)%256). IDAT is a zlib level-0 (stored)
     stream so its length is exactly raw_len+11 — formula-computable:
-    n_bytes = 68 + h*(1+3w)."""
+    n_bytes = 68 + h*(1+3w).
+
+    Every i with i % 15 == 12 instead carries an UNSUPPORTED-profile IHDR
+    (cycling 16-bit depth / paletted / interlaced by i//15 % 3) in an
+    otherwise CRC-valid container of the SAME byte length — these must ride
+    the flagged-not-fatal path in every decode kernel (VERDICT r3 item 7)."""
     w, h = 1 + i % 8, 1 + (i * 7) % 8
+    depth, ctype, interlace = 8, 2, 0
+    if i % 15 == 12:
+        depth, ctype, interlace = ((16, 2, 0), (8, 3, 0), (8, 2, 1))[(i // 15) % 3]
     rows = []
     for y in range(h):
         rows.append(b"\x00")  # filter type 0 (None)
@@ -75,7 +83,7 @@ def synth_png(i: int) -> bytes:
             )
         )
     raw = b"".join(rows)
-    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    ihdr = struct.pack(">II5B", w, h, depth, ctype, 0, 0, interlace)
     idat = zlib.compress(raw, level=0)  # stored blocks: len = raw+11 (raw<64KiB)
     return (
         _PNG_SIG
@@ -178,13 +186,21 @@ def _walk_png_chunks(buf: bytes):
 
 def decode_png_header(buf: bytes) -> dict:
     """Real PNG header decode: signature check, chunk walk with CRC32
-    verification, IHDR big-endian width/height."""
+    verification, IHDR big-endian width/height + profile fields."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     for typ, data in _walk_png_chunks(buf):
         if typ == b"IHDR":
-            w, h = struct.unpack(">II", data[:8])
-            return {"width": w, "height": h}
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">II5B", data[:13]
+            )
+            return {
+                "width": w,
+                "height": h,
+                "depth": depth,
+                "ctype": ctype,
+                "interlace": interlace,
+            }
     raise ValueError("no IHDR")
 
 
@@ -198,15 +214,21 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
     idat = b""
     for typ, data in _walk_png_chunks(buf):
         if typ == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError(f"unsupported PNG format depth={depth} ctype={ctype}")
+            w, h, depth, ctype, _c, _f, il = struct.unpack(">II5B", data[:13])
+            if depth != 8 or ctype != 2 or il != 0:
+                raise ValueError(
+                    f"unsupported PNG format depth={depth} ctype={ctype} interlace={il}"
+                )
         elif typ == b"IDAT":
             idat += data
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     raw = zlib.decompress(idat)
     stride = 3 * w
+    if len(raw) < h * (1 + stride):
+        raise ValueError(
+            f"IDAT too short: {len(raw)} bytes for {w}x{h} (need {h * (1 + stride)})"
+        )
     out = bytearray(h * stride)
     prev = bytearray(stride)
     pos = 0
@@ -279,6 +301,8 @@ def decode_wav(buf: bytes) -> dict:
             n_data = len(data)
     if sr is None or n_data is None:
         raise ValueError("missing fmt /data chunk")
+    if not sr or not ch or not bits or bits % 8:
+        raise ValueError(f"bad fmt: sr={sr} ch={ch} bits={bits}")
     ns = n_data // (ch * bits // 8)
     return {"sample_rate": sr, "n_frames": ns, "duration_ms": ns * 1000 // sr}
 
@@ -319,6 +343,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                 try:
                     if kind == "image":
                         d = decode_png_header(buf)
+                        if (d["depth"], d["ctype"], d["interlace"]) != (8, 2, 0):
+                            # valid container, unsupported profile (16-bit /
+                            # paletted / interlaced): flagged, not fatal
+                            raise ValueError("unsupported PNG profile")
                         w, h = d["width"], d["height"]
                     elif kind == "audio":
                         d = decode_wav(buf)
@@ -328,7 +356,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                         w, h, nf, dur = d["width"], d["height"], d["n_frames"], d["duration_ms"]
                     else:
                         ok = False
-                except (ValueError, struct.error, zlib.error):
+                except (ValueError, struct.error, zlib.error,
+                        TypeError, ZeroDivisionError, IndexError):
+                    # decoders validate loudly, but malformed containers
+                    # can still trip arithmetic/indexing — corrupt-input
+                    # tolerance means no exception class fails the batch
                     ok = False
                     w = h = sr = nf = dur = 0
                 rows.append((media_id, kind, len(buf), ok, w, h, sr, nf, dur))
@@ -365,7 +397,8 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
                             dst = (y * width + x) * 3
                             resized[dst : dst + 3] = pix[src : src + 3]
                     out_content.append(encode_png(width, height, bytes(resized)))
-                except (ValueError, struct.error, zlib.error):
+                except (ValueError, struct.error, zlib.error,
+                        TypeError, ZeroDivisionError, IndexError):
                     # corrupt-input tolerance, parser-chain style: the row
                     # survives with NULL content instead of failing the batch
                     out_content.append(None)

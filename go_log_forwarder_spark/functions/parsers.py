@@ -309,8 +309,13 @@ def _compile_regex_parse_udf(pattern: str, allow_empty: bool):
     - Go returns "" for a non-participating group (regex.go:66-77 stores it);
       Python gives None -> normalized to "".
     - ``AllowEmpty=false`` drops keys whose value is "" (regex.go:73-76).
+    - Compiled with ``re.ASCII`` so ``\\d``/``\\w``/``\\s``/``\\b`` are
+      ASCII-only, exactly like RE2/Go (ADVICE r3): parse results must not
+      depend on which kernel ``_re2_extractable`` selects. Go's regexp
+      needs ``\\p{...}`` for Unicode classes; so does this fallback (via
+      explicit char classes — Python re has no ``\\p``).
     """
-    compiled = re.compile(pattern)
+    compiled = re.compile(pattern, re.ASCII)
     group_names = [g for g in compiled.groupindex]
 
     @F.pandas_udf(PARSED_TYPE)
@@ -338,7 +343,12 @@ def _compile_regex_parse_udf(pattern: str, allow_empty: bool):
 
 @dataclass(frozen=True)
 class RegexParser:
-    """regex parser (regex.go:25-86): named-group extraction into a map."""
+    """regex parser (regex.go:25-86): named-group extraction into a map.
+
+    Matching semantics are RE2/Go on BOTH kernels: the fast path is Arrow's
+    RE2 ``extract_regex``; the Python-re fallback compiles with
+    ``re.ASCII`` so ``\\d``/``\\w``/``\\s``/``\\b`` are ASCII-only either
+    way (ADVICE r3 — results never depend on kernel selection)."""
 
     pattern: str
     name: str = "regex"

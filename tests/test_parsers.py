@@ -348,3 +348,32 @@ def test_go_layout_compiler_roundtrip(spark):
             got[r["i"]] = r["ts"]
     for i, exp in enumerate(expected):
         assert got[i] == exp, (i, rows[i], got[i], exp)
+
+
+def test_regex_ascii_classes_kernel_independent(spark):
+    # ADVICE r3: \d must be ASCII-only (RE2/Go semantics) in BOTH kernels.
+    # Arabic-Indic digits must not match, whichever kernel runs.
+    from go_log_forwarder_spark.functions.parsers import (
+        RegexParser,
+        _compile_regex_parse_udf,
+        _re2_extractable,
+    )
+
+    pat = r"n=(?P<n>\d+)"
+    rows = [("n=42",), ("n=١٢٣",)]  # ١٢٣
+    df = spark.createDataFrame(rows, "raw string")
+
+    assert _re2_extractable(pat, ["n"])  # default route is the RE2 kernel
+    re2 = {
+        r["raw"]: r["p"]
+        for r in df.select(
+            "raw", RegexParser(pattern=pat).parsed_col(F.col("raw")).alias("p")
+        ).collect()
+    }
+    fallback = {
+        r["raw"]: r["p"]
+        for r in df.select(
+            "raw", _compile_regex_parse_udf(pat, allow_empty=True)(F.col("raw")).alias("p")
+        ).collect()
+    }
+    assert re2 == fallback == {"n=42": {"n": "42"}, "n=١٢٣": None}
