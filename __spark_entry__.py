@@ -909,8 +909,27 @@ def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (beyond-reference log-analytics op): per-user sessions
     split on >30-minute gaps (lag + cumulative-sum windows); per-session
-    row counts and bounds."""
+    row counts and bounds.
+
+    OUTCOME-GATED streaming twin (VERDICT r3 item 6, the
+    stream_route_counts treatment): the stateful streaming sessionizer
+    (streaming.stateful.stream_sessionize, applyInPandasWithState) runs
+    over the SAME events as two time-ordered file micro-batches with the
+    watermark held back 3650 days — so no timeout fires and the stream
+    emits EXACTLY the sessions closed by a successor event, i.e. every
+    batch session except each user's final one. Each output row carries the
+    per-user stream outcome (closed-session count + set equality of
+    (start_us, end_us, n_events) triples vs the batch's non-final
+    sessions); the oracle derives both by construction, so the driver hash
+    pins stream == batch."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
     from pyspark.sql.window import Window
+
+    from go_log_forwarder_spark.streaming.stateful import stream_sessionize
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -928,10 +947,99 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return sessions.groupBy("user_id", "session_seq").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+    batch = (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        # three consumers below (result join, closed-expected, and the
+        # stream input is the same scan): pin it once
+        .localCheckpoint(eager=True)
+    )
+
+    # streaming twin: two micro-batches in event-time order (mtime-ordered
+    # files + maxFilesPerTrigger=1), sessions merging ACROSS the batch
+    # boundary through the operator state
+    tmp = tempfile.mkdtemp(prefix="glfs_sess_q_")
+    indir, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+    src = ev.select("user_id", F.col("ts").cast("timestamp").alias("event_time"))
+    lo, hi = src.agg(F.min("event_time"), F.max("event_time")).first()
+    mid = lo + (hi - lo) / 2
+    src.filter(F.col("event_time") <= F.lit(mid)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(indir)
+    first_files = {f for f in os.listdir(indir) if f.endswith(".parquet")}
+    src.filter(F.col("event_time") > F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    now = time.time()
+    for f in os.listdir(indir):
+        if f.endswith(".parquet"):
+            os.utime(
+                os.path.join(indir, f),
+                times=(now - 60, now - 60) if f in first_files else (now - 30, now - 30),
+            )
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_sessionize(stream, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.table(name)
+
+    # expected stream output: every session except each user's last
+    closed_exp = (
+        batch.withColumn(
+            "_max_seq", F.max("session_seq").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("session_seq") < F.col("_max_seq"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+    j = closed_exp.withColumn("_e", F.lit(1)).join(
+        streamed.withColumn("_s", F.lit(1)),
+        ["user_id", "session_start_us", "session_end_us", "n_events"],
+        "full_outer",
+    )
+    per_user = j.groupBy("user_id").agg(
+        F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("bigint").alias(
+            "stream_closed_sessions"
+        ),
+        (
+            F.sum(F.when(F.col("_e").isNull() | F.col("_s").isNull(), 1).otherwise(0))
+            == 0
+        ).alias("stream_equal"),
+    )
+    return batch.join(per_user, "user_id", "left").select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.coalesce(F.col("stream_closed_sessions"), F.lit(0)).cast("bigint").alias(
+            "stream_closed_sessions"
+        ),
+        F.coalesce(F.col("stream_equal"), F.lit(True)).alias("stream_equal"),
     )
 
 
@@ -1225,18 +1333,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF scale path: coarse-quantizer bucket assignment + nprobe search."""
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index — the production ANN shape (Jégou et al. 2011;
+    VERDICT r3 item 4 promotes it into the driver gate, replacing the two
+    constituent queries, BOTH of whose paths still execute inside this one:
+    the coarse quantizer assigns/probes nprobe buckets (the former
+    ann_ivf_topk machinery) and candidates score by PQ asymmetric distance
+    against per-query LUTs (the former ann_pq_topk machinery). Neither the
+    corpus floats nor non-probed buckets are touched at query time."""
     emb = _embeddings(spark, sf_dir)
-    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return sim.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 3), topk=10)
 
 
-def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC search (memory-compressed ANN): corpus vectors live as S
-    codeword ids; queries score via S exact-int table lookups — the float
-    corpus is never touched at query time."""
+def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite permuted PQ search (Ge et al. 2013 simplified to an
+    energy-balancing dimension permutation): hot dimensions are dealt
+    round-robin across subspaces before PQ encode/ADC, so no subspace
+    carries all the variance. Fills the roster slot freed by the IVF+PQ
+    merge — this was unit-gated only in round 3."""
     emb = _embeddings(spark, sf_dir)
-    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), topk=10)
+    perm = sim.opq_permutation(emb)
+    return sim.pq_adc_topk(
+        sim.apply_permutation(emb, perm), emb.filter(F.col("vec_id") < 3), topk=10
+    )
 
 
 def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,9 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_length_stats": q_tokens_length_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "ann_pq_topk": q_ann_pq_topk,
+        "ann_opq_topk": q_ann_opq_topk,
         "ann_pq_trained_topk": q_ann_pq_trained_topk,
         "dedup_clusters": q_dedup_clusters,
         "tokens_quality_filter": q_tokens_quality_filter,
@@ -1531,9 +1650,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": sim.brute_force_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
         "ann_lsh_topk": sim.lsh_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
-        "ann_ivf_topk": sim.ivf_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
+        "ann_ivfpq_topk": sim.ivfpq_topk_sql("embeddings", "id < 3"),
         "ann_ivf_trained_topk": sim.ivf_trained_topk_sql("embeddings", ANN_QUERY_PRED_SQL),
-        "ann_pq_topk": sim.pq_adc_topk_sql("embeddings", "id < 3"),
+        "ann_opq_topk": sim.pq_adc_topk_sql(sim.opq_perm_table_sql("embeddings"), "id < 3"),
         "ann_pq_trained_topk": sim.pq_adc_trained_topk_sql("embeddings", "id < 3"),
         "tokens_quality_filter": _TOKENS_CTE
         + f"""
@@ -1587,9 +1706,20 @@ def oracle_sql() -> dict[str, str]:
                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
                 FROM g
             )
-            SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
-                   MIN(ts) AS session_start, MAX(ts) AS session_end
-            FROM s GROUP BY user_id, session_seq
+            , sess AS (
+                SELECT user_id, session_seq, COUNT(*)::BIGINT AS n_events,
+                       MIN(ts) AS session_start, MAX(ts) AS session_end
+                FROM s GROUP BY user_id, session_seq
+            )
+            -- stream outcome BY CONSTRUCTION (watermark held back: the
+            -- stream closes exactly the non-final session per user); the
+            -- Spark side computes these from the REAL streaming run, so
+            -- the hash pins stream == batch
+            SELECT user_id, session_seq, n_events, session_start, session_end,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) - 1 AS BIGINT)
+                       AS stream_closed_sessions,
+                   TRUE AS stream_equal
+            FROM sess
         """,
         "http_lines_split": """
             WITH lines AS (

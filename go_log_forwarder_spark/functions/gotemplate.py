@@ -20,9 +20,22 @@ Catalyst (one projection, no Python in the hot path):
   ``array_join`` — a higher-order Column, still zero Python.
 - ``{{with <field>}} ... {{else}} ... {{end}}``: rebind the dot to the
   field when truthy (same truth rule as if), else branch otherwise.
+- builtin CALLS (round-4 subset of text/template's function set —
+  VERDICT r3 item 9): ``{{len <field>}}`` (map entry count for ``.Data``,
+  BYTE length for strings — Go ``len`` counts bytes, so ``octet_length``
+  not ``length``), ``{{index .Data "key"}}`` (same rendering as
+  ``.Data.key``), and ``{{printf "fmt" args...}}`` with verbs ``%s``,
+  ``%v``, ``%d`` and ``%%``; args are fields, string literals, the dot, or
+  one nested ``(len ...)`` / ``(index ...)`` call; ``%d`` requires an
+  integer-valued arg (``len``); compiled to ``format_string`` — still one
+  Catalyst projection. Documented divergences: printf'ing a MISSING
+  ``.Data.key`` renders ``<no value>`` (like the bare field action) where
+  Go prints ``%!s(<nil>)``, and ``len`` of a missing key is 0 where Go
+  errors at execute time.
 
-Anything else (pipelines, functions, variables, range over non-``.Data``)
-raises ``ValueError`` at build time — loud beats silently-wrong output.
+Anything else (pipelines, other functions, ``$variables``, range over
+non-``.Data``) raises ``ValueError`` at build time — loud beats
+silently-wrong output.
 """
 
 from __future__ import annotations
@@ -103,6 +116,17 @@ class _With(_Node):
     orelse: list[_Node] = field(default_factory=list)
 
 
+@dataclass
+class _Lit(_Node):
+    value: str
+
+
+@dataclass
+class _Call(_Node):
+    fn: str  # printf | len | index
+    args: list = field(default_factory=list)
+
+
 def _parse_field(expr: str, template: str) -> _Field | _Dot:
     if expr == ".":
         return _Dot()
@@ -112,6 +136,69 @@ def _parse_field(expr: str, template: str) -> _Field | _Dot:
     if m.group(2) and m.group(1) != "Data":
         raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
     return _Field(m.group(1), m.group(2))
+
+
+_CALL_TOKEN = re.compile(
+    r'\s*(?:"((?:[^"\\]|\\.)*)"'  # quoted string literal
+    r"|\(([^()]*)\)"  # one-level parenthesized sub-call
+    r"|([^\s()\"]+))"  # bare word / field
+)
+
+
+def _parse_call(expr: str, template: str) -> _Call:
+    """Parse ``printf "fmt" args...`` / ``len <arg>`` / ``index .Data "k"``.
+    Pipelines and $variables stay LOUD (caught before tokenizing)."""
+    if "|" in expr or "$" in expr:
+        raise ValueError(
+            f"unsupported template expression {expr!r} in {template!r}"
+            " (pipelines and $variables are not compilable)"
+        )
+    fn = expr.split(None, 1)[0]
+    rest = expr[len(fn):]
+    args: list[_Node] = []
+    pos = 0
+    while pos < len(rest):
+        m = _CALL_TOKEN.match(rest, pos)
+        if not m:
+            if rest[pos:].strip():
+                raise ValueError(
+                    f"unsupported template expression {expr!r} in {template!r}"
+                )
+            break
+        pos = m.end()
+        if m.group(1) is not None:
+            args.append(_Lit(m.group(1).replace('\\"', '"').replace("\\\\", "\\")))
+        elif m.group(2) is not None:
+            sub = _parse_call(m.group(2).strip(), template)
+            if sub.fn == "printf":
+                raise ValueError(f"nested printf not supported in {template!r}")
+            args.append(sub)
+        else:
+            args.append(_parse_field(m.group(3), template))
+
+    if fn == "len":
+        if len(args) != 1 or isinstance(args[0], _Lit):
+            raise ValueError(f"len takes one field argument in {template!r}")
+    elif fn == "index":
+        ok = (
+            len(args) == 2
+            and isinstance(args[0], _Field)
+            and args[0].root == "Data"
+            and args[0].key is None
+            and isinstance(args[1], _Lit)
+        )
+        if not ok:
+            raise ValueError(
+                f'index supports the form (index .Data "key") only in {template!r}'
+            )
+    elif fn == "printf":
+        if not args or not isinstance(args[0], _Lit):
+            raise ValueError(
+                f"printf needs a literal format string in {template!r}"
+            )
+    else:
+        raise ValueError(f"unsupported template function {fn!r} in {template!r}")
+    return _Call(fn, args)
 
 
 def _parse(template: str) -> list[_Node]:
@@ -166,6 +253,8 @@ def _parse(template: str) -> list[_Node]:
             if not stack:
                 raise ValueError(f"unexpected {{{{end}}}} in {template!r}")
             stack.pop()
+        elif action and action.split()[0] in ("printf", "len", "index"):
+            emit(_parse_call(action, template))
         else:
             emit(_parse_field(action, template))
     if stack:
@@ -207,11 +296,88 @@ def compile_go_template(
         item = parsed.getItem(f.key)
         return item.isNotNull() & (item != "")
 
+    def eval_arg(a: _Node, dot: Column | None) -> tuple[Column, str]:
+        """Evaluate a call argument -> (column, kind) with kind 'str'|'int'."""
+        if isinstance(a, _Lit):
+            return F.lit(a.value), "str"
+        if isinstance(a, _Dot):
+            if dot is None:
+                raise ValueError(f"{{{{.}}}} outside a range/with body in {template!r}")
+            return F.coalesce(dot, F.lit("")), "str"
+        if isinstance(a, _Field):
+            return render_field(a), "str"
+        if isinstance(a, _Call):
+            return eval_call(a, dot)
+        raise ValueError(f"unsupported call argument in {template!r}")
+
+    def eval_call(n: _Call, dot: Column | None) -> tuple[Column, str]:
+        if n.fn == "len":
+            a = n.args[0]
+            if isinstance(a, _Dot):
+                if dot is None:
+                    raise ValueError(
+                        f"{{{{.}}}} outside a range/with body in {template!r}"
+                    )
+                return F.octet_length(F.coalesce(dot, F.lit(""))).cast("long"), "int"
+            if isinstance(a, _Call):  # len (index .Data "k")
+                col, _ = eval_call(a, dot)
+                # index of a missing key renders "<no value>"; Go's len
+                # errors there — we pin 0 (documented divergence)
+                col = F.when(col == "<no value>", F.lit("")).otherwise(col)
+                return F.octet_length(col).cast("long"), "int"
+            if a.root == "Data" and a.key is None:
+                # len(nil map) == 0 in Go
+                return (
+                    F.coalesce(F.size(F.map_entries(parsed)), F.lit(0)).cast("long"),
+                    "int",
+                )
+            if a.root == "Tag":
+                # Go len(string) counts BYTES
+                return F.octet_length(F.coalesce(tag, F.lit(""))).cast("long"), "int"
+            if a.root == "Data":
+                item = F.coalesce(parsed.getItem(a.key), F.lit(""))
+                return F.octet_length(item).cast("long"), "int"
+            raise ValueError(f"len of .Timestamp is not a Go operation in {template!r}")
+        if n.fn == "index":
+            key = n.args[1].value
+            return F.coalesce(parsed.getItem(key), F.lit("<no value>")), "str"
+        # printf: validate verbs against arg kinds, compile to format_string
+        fmt = n.args[0].value
+        verbs = re.findall(r"%(.)", fmt)
+        verbs = [v for v in verbs if v != "%"]
+        bad = [v for v in verbs if v not in ("s", "v", "d")]
+        if bad:
+            raise ValueError(
+                f"printf verb %{bad[0]} not in the compilable subset"
+                f" (%s, %v, %d, %%) in {template!r}"
+            )
+        args = [eval_arg(a, dot) for a in n.args[1:]]
+        if len(verbs) != len(args):
+            raise ValueError(
+                f"printf verb/arg count mismatch ({len(verbs)} verbs,"
+                f" {len(args)} args) in {template!r}"
+            )
+        cols = []
+        for (col, kind), v in zip(args, verbs):
+            if v == "d" and kind != "int":
+                raise ValueError(
+                    f"printf %d needs an integer arg (len ...) in {template!r}"
+                )
+            if v in ("s", "v") and kind == "int":
+                col = col.cast("string")
+            cols.append(col)
+        # %v renders like %s once every value is a string
+        jfmt = re.sub(r"%([sv])", "%s", fmt)
+        return F.format_string(jfmt, *cols), "str"
+
     def render(nodes: list[_Node], dot: Column | None = None) -> Column:
         parts = []
         for n in nodes:
             if isinstance(n, _Text):
                 parts.append(F.lit(n.text))
+            elif isinstance(n, _Call):
+                col, kind = eval_call(n, dot)
+                parts.append(col.cast("string") if kind == "int" else col)
             elif isinstance(n, _Dot):
                 if dot is None:
                     raise ValueError(

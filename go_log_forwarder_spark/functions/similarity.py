@@ -260,64 +260,116 @@ def all_pairs_cosine_micro(
     )
 
 
+SPLIT_MAX_LEVELS = 4  # depth bound for recursive hot-bucket splitting:
+# each level is a ~cap/4-fold fan-out of every hot group, so needed depth
+# grows log_{cap/4}(largest cluster) — 4 levels cover a 10^12-row corpus
+# with cap >= 100 even if one cluster holds EVERYTHING. Spark loop and SQL
+# oracle share this constant so their dataflows stay step-identical.
+
+SEED_BROADCAST_ROWS = 20_000  # above this, the seed relation goes through a
+# plain shuffle join: seeds scale with total hot-bucket mass (data-
+# dependent under skew, NOT bounded like a codebook), so broadcasting them
+# unconditionally is a driver/executor OOM at adversarial distributions
+# (VERDICT r3 item 2). ~20k rows * (vector + 3 longs) stays comfortably
+# under a 10 MB broadcast at d<=128.
+
+
 def split_hot_buckets(
-    assigned: DataFrame, split_cap: int, seed: str = "split"
+    assigned: DataFrame,
+    split_cap: int,
+    seed: str = "split",
+    max_levels: int = SPLIT_MAX_LEVELS,
+    seed_broadcast_rows: int = SEED_BROADCAST_ROWS,
 ) -> DataFrame:
-    """Second-level splitting of oversized IVF buckets (VERDICT r2 item 5).
+    """RECURSIVE splitting of oversized IVF buckets (VERDICT r2 item 5 +
+    r3 item 2).
 
-    Buckets with more than ``split_cap`` members are re-partitioned by a
-    second level of centroids chosen INSIDE the bucket: the sub-seeds are
-    the members whose portable hash (hex60(md5('split:'||id))) is divisible
-    by ``max(split_cap // 4, 1)`` — an expected 4·cnt/cap seeds per bucket
-    (4x oversampling keeps the expected max sub-bucket under the cap;
-    deterministic and engine-reproducible with no per-bucket global sort) —
+    Level ``l`` re-partitions every (centroid, sub) group holding more than
+    ``split_cap`` members by a deeper level of centroids chosen INSIDE the
+    group: the sub-seeds are the members whose portable hash
+    (hex60(md5('split{l}:'||id)), level 0 spelled 'split:') is divisible by
+    ``max(split_cap // 4, 1)`` — an expected 4·cnt/cap seeds per group (4x
+    oversampling keeps the expected max sub-group under the cap;
+    deterministic and engine-reproducible with no per-group global sort) —
     and every member goes to its nearest sub-seed under the same exact-int
-    squared L2 with ties to the lower seed id. Geometry-aware: exact duplicates and tight
-    near-dup groups always co-locate (identical argmin), unlike a hash
-    split. Small buckets keep sub = -1; a hot bucket that drew no seeds
-    falls back to unsplit (sub = -1).
+    squared L2 with ties to the lower seed id. Geometry-aware: exact
+    duplicates and tight near-dup groups always co-locate (identical
+    argmin), unlike a hash split. Never-hot groups keep sub = -1.
 
-    Cost: assignment joins hot-bucket rows to their bucket's seeds —
-    cnt * (cnt/cap) per bucket, a cap-fold reduction of the cnt^2 pair
-    kernel per level; apply recursively for further levels. Returns
-    ``assigned`` plus a ``sub`` column; pair generation groups on
-    (centroid, sub)."""
+    The loop runs until no group exceeds the cap (bounded driver scalar per
+    level), capped at ``max_levels``; a level whose hot groups drew no
+    seeds is a dataflow NO-OP and the next level redraws with a fresh hash
+    — both behaviors are mirrored CTE-for-CTE by the unrolled SQL oracle
+    (:func:`bucketed_pairs_sql`), which is why Spark and DuckDB agree
+    whatever depth the data actually needs (<= max_levels). Sub ids are
+    member ids, and a member belongs to exactly one group per centroid, so
+    re-using the single ``sub`` column across levels can never alias two
+    distinct groups.
+
+    Seeds join by broadcast only while they fit (``seed_broadcast_rows``);
+    past that the join degrades to a plain shuffle — the seed relation
+    grows with hot-bucket mass and is NOT broadcast-safe under power-law
+    skew.
+
+    Cost per level: assignment joins hot-group rows to their group's seeds
+    — cnt * (cnt/cap) per group, a cap-fold reduction of the cnt^2 pair
+    kernel per level. Returns ``assigned`` plus a ``sub`` column; pair
+    generation groups on (centroid, sub)."""
     from .textstats import hex60_col
 
-    # assigned feeds FOUR consumers below (counts, seed pick, candidate
-    # join, final join-back); without materialization the whole IVF
-    # assignment (broadcast join + per-id window) re-executes per consumer
-    # — measured 3.5x on the sf0.1 bench
+    # assigned feeds every per-level consumer (counts, seed pick, candidate
+    # join, join-back); without materialization the whole IVF assignment
+    # (broadcast join + per-id window) re-executes per consumer — measured
+    # 3.5x on the sf0.1 bench
     assigned = assigned.localCheckpoint(eager=True)
-    cnt = assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("_cnt"))
-    hot = cnt.filter(F.col("_cnt") > split_cap).select("centroid")
-    gate = hex60_col(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
+    if "sub" not in assigned.columns:
+        assigned = assigned.withColumn("sub", F.lit(-1).cast("long"))
     stride = max(split_cap // 4, 1)
-    seeds = (
-        assigned.join(F.broadcast(hot), "centroid")
-        .filter(gate % stride == 0)
-        .select(
-            "centroid",
-            F.col("id").alias("_sid"),
-            F.col("v").alias("_sv"),
-            F.col("norm2").alias("_sn"),
+    for level in range(max_levels):
+        cnt = assigned.groupBy("centroid", "sub").agg(F.count(F.lit(1)).alias("_cnt"))
+        hot = cnt.filter(F.col("_cnt") > split_cap).select("centroid", "sub")
+        n_hot = hot.count()  # bounded scalar: #groups, never row data
+        if n_hot == 0:
+            break
+        tag = seed if level == 0 else f"{seed}{level}"
+        gate = hex60_col(F.concat(F.lit(f"{tag}:"), F.col("id").cast("string")))
+        hot_rel = F.broadcast(hot) if n_hot <= 500_000 else hot
+        seeds = (
+            assigned.join(hot_rel, ["centroid", "sub"])
+            .filter(gate % stride == 0)
+            .select(
+                "centroid",
+                "sub",
+                F.col("id").alias("_sid"),
+                F.col("v").alias("_sv"),
+                F.col("norm2").alias("_sn"),
+            )
         )
-    )
-    cand = assigned.join(F.broadcast(seeds), "centroid").withColumn(
-        "_sdist",
-        F.col("norm2") + F.col("_sn") - 2 * int_dot(F.col("v"), F.col("_sv")),
-    )
-    # keyed by (id, centroid), not id alone: under multi-probe assignment a
-    # vector has one membership row PER probed bucket, each sub-assigned
-    # independently within that bucket. min_by over a (dist, sid) struct =
-    # argmin with the deterministic tie-break, as a map-side-combinable
-    # hash aggregate — no per-key sort the way a row_number window needs
-    subbed = cand.groupBy("id", "centroid").agg(
-        F.min_by("_sid", F.struct(F.col("_sdist"), F.col("_sid"))).alias("sub")
-    )
-    return assigned.join(subbed, ["id", "centroid"], "left").withColumn(
-        "sub", F.coalesce(F.col("sub"), F.lit(-1).cast("long"))
-    )
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            continue  # no-op level (oracle-mirrored); next level redraws
+        seed_rel = F.broadcast(seeds) if n_seeds <= seed_broadcast_rows else seeds
+        cand = assigned.join(seed_rel, ["centroid", "sub"]).withColumn(
+            "_sdist",
+            F.col("norm2") + F.col("_sn") - 2 * int_dot(F.col("v"), F.col("_sv")),
+        )
+        # keyed by (id, centroid), not id alone: under multi-probe
+        # assignment a vector has one membership row PER probed bucket,
+        # each sub-assigned independently within that bucket (a row has one
+        # sub per (id, centroid), so the key pins the group too). min_by
+        # over a (dist, sid) struct = argmin with the deterministic
+        # tie-break, as a map-side-combinable hash aggregate — no per-key
+        # sort the way a row_number window needs
+        subbed = cand.groupBy("id", "centroid").agg(
+            F.min_by("_sid", F.struct(F.col("_sdist"), F.col("_sid"))).alias("_newsub")
+        )
+        assigned = (
+            assigned.join(subbed, ["id", "centroid"], "left")
+            .withColumn("sub", F.coalesce(F.col("_newsub"), F.col("sub")))
+            .drop("_newsub")
+            .localCheckpoint(eager=True)
+        )
+    return assigned
 
 
 def bucketed_cosine_pairs(
@@ -550,11 +602,18 @@ def ivf_assign_cte_sql(
 def bucketed_pairs_sql(
     table: str, threshold_micro: int, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = IVF_K, split_cap: int | None = None,
-    nprobe: int = 1,
+    nprobe: int = 1, max_levels: int = SPLIT_MAX_LEVELS,
 ) -> str:
     """Oracle twin of :func:`bucketed_cosine_pairs`: same bucket assignment
-    (multi-probe when ``nprobe > 1``), same optional hot-bucket split, same
-    exact-int cosine, pairs restricted to a shared (centroid[, sub])."""
+    (multi-probe when ``nprobe > 1``), same optional RECURSIVE hot-bucket
+    split, same exact-int cosine, pairs restricted to a shared
+    (centroid[, sub]).
+
+    The split recursion is unrolled to ``max_levels`` CTE blocks, each the
+    exact relational mirror of one Spark loop iteration; a level with no
+    hot groups produces an empty seeds CTE and passes the relation through
+    unchanged — precisely the Spark loop's early break — so both engines
+    agree at whatever depth the data needs."""
     from .textstats import hex60_sql
 
     cos = (
@@ -564,32 +623,46 @@ def bucketed_pairs_sql(
     if split_cap is None:
         rel, extra = "assigned", ""
     else:
-        rel = "final"
-        gate = hex60_sql("'split:' || CAST(a.id AS VARCHAR)")
+        stride = max(split_cap // 4, 1)
         sdist = (
             "a.norm2 + s.sn - 2 * list_sum(list_transform("
             "generate_series(1, len(a.v)), i -> a.v[i] * s.sv[i]))"
         )
-        extra = f""",
-        bcnt AS (SELECT centroid, COUNT(*) AS cnt FROM assigned GROUP BY centroid),
-        seeds AS (
-            SELECT a.centroid, a.id AS sid, a.v AS sv, a.norm2 AS sn
-            FROM assigned a JOIN bcnt b USING (centroid)
-            WHERE b.cnt > {split_cap} AND {gate} % {max(split_cap // 4, 1)} = 0
+        # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # each f{l} is referenced ~4 times by its level block — inlined,
+        # the 4-level chain re-evaluates f0 O(4^levels) times and the
+        # oracle times out; materialized, evaluation is linear in levels.
+        blocks = [
+            """,
+        f0 AS MATERIALIZED (SELECT id, v, norm2, centroid, CAST(-1 AS BIGINT) AS sub
+               FROM assigned)"""
+        ]
+        for lv in range(max_levels):
+            tag = "split" if lv == 0 else f"split{lv}"
+            gate = hex60_sql(f"'{tag}:' || CAST(a.id AS VARCHAR)")
+            blocks.append(f""",
+        bcnt{lv} AS MATERIALIZED (SELECT centroid, sub, COUNT(*) AS cnt
+                     FROM f{lv} GROUP BY centroid, sub),
+        seeds{lv} AS MATERIALIZED (
+            SELECT a.centroid, a.sub, a.id AS sid, a.v AS sv, a.norm2 AS sn
+            FROM f{lv} a JOIN bcnt{lv} b USING (centroid, sub)
+            WHERE b.cnt > {split_cap} AND {gate} % {stride} = 0
         ),
-        subbed AS (
-            SELECT id, centroid, sid AS sub FROM (
+        subbed{lv} AS MATERIALIZED (
+            SELECT id, centroid, sid AS newsub FROM (
                 SELECT a.id, a.centroid, s.sid,
                        row_number() OVER (PARTITION BY a.id, a.centroid
                            ORDER BY {sdist}, s.sid) AS rn
-                FROM assigned a JOIN seeds s USING (centroid)
+                FROM f{lv} a JOIN seeds{lv} s USING (centroid, sub)
             ) WHERE rn = 1
         ),
-        final AS (
-            SELECT a.id, a.v, a.norm2, a.centroid, COALESCE(s.sub, -1) AS sub
-            FROM assigned a LEFT JOIN subbed s
+        f{lv + 1} AS MATERIALIZED (
+            SELECT a.id, a.v, a.norm2, a.centroid,
+                   COALESCE(s.newsub, a.sub) AS sub
+            FROM f{lv} a LEFT JOIN subbed{lv} s
               ON s.id = a.id AND s.centroid = a.centroid
-        )"""
+        )""")
+        rel, extra = f"f{max_levels}", "".join(blocks)
     sub_eq = " AND a.sub = b.sub" if split_cap is not None else ""
     distinct = "DISTINCT " if nprobe > 1 else ""
     return f"""

@@ -137,10 +137,16 @@ def main() -> None:
     # never reach 4x — 2→8 stays within physical capacity, which is what the
     # N→4N executor criterion models on a real cluster.
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    # SPARK_GRAFT_SCALE_TASKSET=0-7 pins BOTH runs to the same fixed CPU
+    # set (VERDICT r3 item 3): local[2] and local[8] then see identical
+    # silicon, so scheduler migration across hyperthread siblings / busy
+    # cores cannot skew the ratio between the two levels.
+    pin = os.environ.get("SPARK_GRAFT_SCALE_TASKSET", "")
+    prefix = ["taskset", "-c", pin] if pin else []
     results = {}
     for cores in (n, 4 * n):
         out = subprocess.run(
-            [sys.executable, __file__, "run", str(cores)],
+            [*prefix, sys.executable, __file__, "run", str(cores)],
             check=True, env=env, capture_output=True, text=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

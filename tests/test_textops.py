@@ -708,3 +708,61 @@ def test_resize_corrupt_png_yields_null_content(spark):
     rows = {r["media_id"]: r for r in mm.resize_images(df, 4, 4).collect()}
     assert rows[0]["content"] is None  # corrupt flagged, batch survives
     assert mm.decode_png_pixels(bytes(rows[1]["content"]))[0] == 4
+
+
+def test_split_hot_buckets_recursive_adversarial_skew(spark):
+    # VERDICT r3 item 2: one dense cluster >> cap whose level-1 split
+    # PROVABLY leaves a hot group (pinned by the max_levels=1 run), so the
+    # recursion must engage. 24 distinct points x 25 exact copies, all in
+    # one coarse bucket; duplicates always co-locate, so any sub-group
+    # holding >= 2 points is hot (50 > 30) until a deeper level separates
+    # them.
+    n, cap, m = 600, 30, 25
+    rows = []
+    for i in range(n):
+        p = i // m
+        ks = [100000 + (p % 3), 100000 + ((p // 3) % 3), 100000 + ((p // 9) % 3), 100000]
+        rows.append((i, [x / 10000.0 for x in ks]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sizes(assigned):
+        return [
+            r["n"]
+            for r in assigned.groupBy("centroid", "sub")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+
+    base = sim.ivf_assign(emb, k=1)
+    # one level is NOT enough on this corpus — recursion is load-bearing
+    s1 = sizes(sim.split_hot_buckets(base, cap, max_levels=1))
+    assert max(s1) == 50 > cap
+
+    # the default loop converges: every final group bounded by the cap
+    full = sim.split_hot_buckets(base, cap)
+    sf = sizes(full)
+    assert max(sf) <= cap, f"group exceeds cap after recursion: {sorted(sf)[-5:]}"
+
+    # de-broadcast path (seed relation through a plain shuffle join) is
+    # plan-only: assignment identical to the broadcast path
+    shuffled = sim.split_hot_buckets(base, cap, seed_broadcast_rows=0)
+    a = {(r["id"], r["centroid"], r["sub"]) for r in full.collect()}
+    b = {(r["id"], r["centroid"], r["sub"]) for r in shuffled.collect()}
+    assert a == b
+
+    # oracle parity at the recursive depth: the unrolled SQL mirrors the
+    # loop CTE-for-CTE, so the pair relations agree bit-for-bit
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    got = set(
+        con.execute(
+            sim.bucketed_pairs_sql("embeddings", 999000, k=1, split_cap=cap)
+        ).fetchall()
+    )
+    spark_pairs = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.bucketed_cosine_pairs(emb, 999000, k=1, split_cap=cap).collect()
+    }
+    assert spark_pairs == got and len(spark_pairs) > 0
