@@ -81,11 +81,17 @@ _GO_TIME_TOKENS: list[tuple[str, str | None]] = sorted(
         # upper-cases the meridiem in the VALUE when the layout used 'pm'
         ("pm", "a"),
         ("MST", "zzz"),
-        ("Z070000", None),
+        # second-precision zones (round 4): java.time XXXX/xxxx parse
+        # ±HHmmss (XXXX also 'Z'), XXXXX/xxxxx the colon forms — slightly
+        # LENIENT vs Go: the seconds are optional on the java side where
+        # Go's 6/8-char tokens require them
+        ("Z07:00:00", "XXXXX"),
+        ("Z070000", "XXXX"),
         ("Z07:00", "XXX"),
         ("Z0700", "XX"),
         ("Z07", "X"),
-        ("-070000", None),
+        ("-07:00:00", "xxxxx"),
+        ("-070000", "xxxx"),
         ("-07:00", "xxx"),
         ("-0700", "xx"),
         ("-07", "x"),
@@ -117,11 +123,13 @@ def go_layout_to_spark(layout: str) -> str:
     ``.000...`` -> ``.SSS...`` (exact digits) / ``.999...`` -> ``[.SSS...]``
     (optional — Go drops the fraction entirely when zero; note java.time
     still requires the full digit count WHEN present, a documented
-    divergence for Go's trailing-zero trimming). Known Go tokens with no
-    faithful java.time equivalent (second-precision zone offsets
-    ``Z070000``/``-070000``) raise ``ValueError`` — the reference silently
-    keeps the old timestamp on parse failure (parser.go:17-19), but a
-    config-time unknown layout is a build error here.
+    divergence for Go's trailing-zero trimming). Second-precision zone
+    offsets map since round 4 (``Z070000`` -> ``XXXX``, ``-07:00:00`` ->
+    ``xxxxx`` etc. — java accepts the secondless forms too, a documented
+    leniency); any token still without a java.time equivalent raises
+    ``ValueError`` — the reference silently keeps the old timestamp on
+    parse failure (parser.go:17-19), but a config-time unknown layout is a
+    build error here.
 
     Documented divergences: two-digit years 69-99 pivot to 19xx in Go but
     20xx in java.time; ``.999`` fractions must carry the full digit count

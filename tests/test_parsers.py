@@ -233,10 +233,37 @@ def test_go_layout_compiler_golden(layout, expected):
     assert go_layout_to_spark(layout) == expected
 
 
-@pytest.mark.parametrize("layout", ["15:04:05-070000", "Z070000", "2006-01-02 7"])
+@pytest.mark.parametrize("layout", ["2006-01-02 7", "hello world"])
 def test_go_layout_compiler_loud_on_unknown(layout):
+    # literal digits (Go itself would misread them as reference-time
+    # numbers) and token-free layouts are build errors
     with pytest.raises(ValueError):
         go_layout_to_spark(layout)
+
+
+def test_go_layout_second_precision_zones(spark):
+    # round 4: Z070000/-070000 (+ colon forms) map to java XXXX/xxxx —
+    # seconds-bearing offsets parse exactly; zero offset accepts 'Z' only
+    # for the Z-forms. Documented leniency: java also accepts the
+    # secondless form where Go's token demands six digits.
+    from go_log_forwarder_spark.functions.parsers import go_time_parse
+
+    assert go_layout_to_spark("2006-01-02 15:04:05Z070000") == "yyyy-MM-dd HH:mm:ssXXXX"
+    assert go_layout_to_spark("2006-01-02 15:04:05-07:00:00") == "yyyy-MM-dd HH:mm:ssxxxxx"
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05+053000",), ("2024-01-02 03:04:05Z",), ("nope",)],
+        "s string",
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            go_time_parse(F.col("s"), "2006-01-02 15:04:05Z070000").alias("t")
+        ).collect()
+    ]
+    # +05:30:00 offset: 03:04:05 local == 21:34:05 UTC previous day
+    assert (got[0].day, got[0].hour, got[0].minute) == (1, 21, 34)
+    assert (got[1].day, got[1].hour) == (2, 3)  # Z accepted
+    assert got[2] is None
 
 
 def test_go_layout_lowercase_pm(spark):
