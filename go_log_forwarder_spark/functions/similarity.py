@@ -280,6 +280,7 @@ def split_hot_buckets(
     seed: str = "split",
     max_levels: int = SPLIT_MAX_LEVELS,
     seed_broadcast_rows: int = SEED_BROADCAST_ROWS,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """RECURSIVE splitting of oversized IVF buckets (VERDICT r2 item 5 +
     r3 item 2).
@@ -320,8 +321,11 @@ def split_hot_buckets(
     # assigned feeds every per-level consumer (counts, seed pick, candidate
     # join, join-back); without materialization the whole IVF assignment
     # (broadcast join + per-id window) re-executes per consumer — measured
-    # 3.5x on the sf0.1 bench
-    assigned = assigned.localCheckpoint(eager=True)
+    # 3.5x on the sf0.1 bench. checkpoint=False is a PLAN-AUDIT hook only
+    # (tests/test_plan_shape.py): the returned lineage then shows the raw
+    # per-level joins instead of a checkpoint scan.
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=True)
     if "sub" not in assigned.columns:
         assigned = assigned.withColumn("sub", F.lit(-1).cast("long"))
     stride = max(split_cap // 4, 1)
@@ -367,8 +371,9 @@ def split_hot_buckets(
             assigned.join(subbed, ["id", "centroid"], "left")
             .withColumn("sub", F.coalesce(F.col("_newsub"), F.col("sub")))
             .drop("_newsub")
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            assigned = assigned.localCheckpoint(eager=True)
     return assigned
 
 

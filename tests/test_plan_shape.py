@@ -254,3 +254,34 @@ def test_tokens_group_counts_single_scan(spark):
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 1
     assert "Union" not in plan
+
+
+def test_split_seed_debroadcast_plan(spark):
+    """VERDICT r3 item 2 (plan half): the seed relation joins by broadcast
+    ONLY under the row threshold; past it (forced with
+    seed_broadcast_rows=0) the candidate join is a real shuffle join — a
+    data-dependent relation is never unconditionally broadcast, and the
+    plan never degrades to a cartesian product. checkpoint=False exposes
+    the per-level joins that localCheckpoint would otherwise hide."""
+    from go_log_forwarder_spark.functions import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3) % 11), float(i % 5), 1.0]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = sim.ivf_assign(emb, k=1)
+
+    dflt = sim.split_hot_buckets(assigned, split_cap=20, checkpoint=False)
+    p_dflt = plan_of(dflt)
+    forced = sim.split_hot_buckets(
+        assigned, split_cap=20, seed_broadcast_rows=0, checkpoint=False
+    )
+    p_forced = plan_of(forced)
+
+    for p in (p_dflt, p_forced):
+        assert "CartesianProduct" not in p
+    # small seeds: the candidate join is broadcast (more BroadcastExchange
+    # nodes than the forced-shuffle plan, which must fall back to a
+    # shuffle join for the same relation)
+    assert p_dflt.count("BroadcastExchange") > p_forced.count("BroadcastExchange")
+    assert ("SortMergeJoin" in p_forced) or ("ShuffledHashJoin" in p_forced)
