@@ -1,9 +1,15 @@
 """Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit": "sec", "queries", "sf"}.
+compact JSON line — LAST, so a tail-capture of stdout always parses it:
+{"metric", "value" (total sec), "unit": "sec", "queries" (2-decimal), "sf"}.
+Full precision + exclusion reasons go to BENCH_DETAIL.json.
 
 Each query is fully materialized via the noop writer (computes every column,
 no sink I/O cost), after one untimed warm-up of the session + page cache.
+Reps scale inversely with query time (min 8 reps under 2 s): the host is
+heavily time-shared and a single co-tenant stall on a 0.6 s query otherwise
+dominates its min-of-N (grok_parse_groups recorded 5.04 s vs 0.65 s real in
+round 4).
 """
 
 from __future__ import annotations
@@ -125,15 +131,22 @@ def main() -> None:
 
     # min-of-N per query: the host is heavily time-shared (identical runs
     # vary up to 30x — see BASELINE.md); the minimum is the least-interfered
-    # estimate of the actual cost.
+    # estimate of the actual cost. Sub-2 s queries get >= fast_reps samples
+    # (VERDICT r4 item 1): their fixed cost is so small that ONE co-tenant
+    # stall inside 3 reps can inflate the recorded min 8x.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    fast_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "8")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(reps):
+        i = 0
+        while True:
+            i += 1
             t0 = time.perf_counter()
             materialize(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            if i >= (fast_reps if best < 2.0 else reps):
+                break
         timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -152,27 +165,29 @@ def main() -> None:
     if missing:
         detail["UNACCOUNTED"] = sorted(missing)
 
-    # Stdout stays SHORT (VERDICT r3 item 1: the round-3 single-line JSON
-    # outgrew the driver's stdout-tail capture and shipped "parsed": null).
-    # Headline line first — compact, always parseable on its own — then the
-    # per-query timings at reduced precision on a second line; the full-
-    # precision record (timings + exclusion reasons) goes to a file.
+    # Stdout is ONE compact line, printed LAST (ADVICE r4: the driver's
+    # tail-capture parses the LAST stdout line, so that must be the record —
+    # round 4's headline-first layout left the driver holding only the
+    # per-query dict). ~1.45 kB at 2-decimal precision, safely under the
+    # ~2 kB capture; the full-precision record (timings + exclusion reasons)
+    # goes to BENCH_DETAIL.json.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    headline = {
+    record = {
         "metric": "headline wall time, all benchmarked queries (min-of-N each)",
-        "value": detail["value"],
+        "value": round(detail["value"], 2),
         "unit": "sec",
-        "n_queries": len(timings),
-        "n_excluded": len(detail["excluded"]),
         "sf": detail["sf"],
+        "n_excluded": len(detail["excluded"]),
         "detail": "BENCH_DETAIL.json",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
     }
-    print(json.dumps(headline))
-    print(json.dumps({"queries": {k: round(v, 2) for k, v in timings.items()}}))
+    line = json.dumps(record, separators=(",", ":"))
+    assert len(line) < 1900, f"stdout record {len(line)}B outgrew the driver capture"
+    print(line)
 
 
 if __name__ == "__main__":

