@@ -622,6 +622,33 @@ def test_ivfpq_topk_composition(spark):
     assert spark_rows == got
 
 
+def test_ivfpq_preserves_untrained_seed_paths(spark):
+    # VERDICT r4 item 7: ann_ivf_topk / ann_pq_topk were retired from the
+    # 50-row driver roster in favor of the ann_ivfpq_topk composition. This
+    # pins that the retired rows' coverage is preserved INSIDE it:
+    # (a) the composition's coarse stage probes exactly the buckets the
+    #     standalone untrained ivf_topk probes — with an untruncated topk,
+    #     the two candidate MEMBERSHIP sets are identical;
+    # (b) its ADC scores equal the standalone untrained pq_adc_topk score
+    #     for every surviving (query, neighbor) pair (ADC is bucket-blind,
+    #     so the scores must agree wherever membership overlaps).
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select("vec_id")
+    n = emb.count()
+
+    ivfpq = sim.ivfpq_topk(emb, queries, topk=n).collect()
+    assert len(ivfpq) > 0
+    ivf = sim.ivf_topk(emb, queries, k=n).collect()
+    comp_members = {(r["query_id"], r["neighbor_id"]) for r in ivfpq}
+    seed_members = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert comp_members == seed_members  # same buckets probed
+
+    pq = sim.pq_adc_topk(emb, queries, topk=n).collect()
+    pq_scores = {(r["query_id"], r["neighbor_id"]): r["approx_dot"] for r in pq}
+    for r in ivfpq:
+        assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["approx_dot"]
+
+
 def test_opq_permutation_balances_and_matches_oracle(spark):
     # skewed energy layout: first half of the dims carry all the energy.
     # Natural-order PQ puts them all in subspace 0; the OPQ-lite
