@@ -1171,9 +1171,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IHDR dims, fmt sample rate + data size, avih frame timing). The oracle
     re-derives every field as pure arithmetic from media_id — any parsing
     bug hash-mismatches. Image rows with media_id % 15 == 12 carry
-    CRC-valid containers with UNSUPPORTED IHDR profiles (16-bit / paletted
-    / interlaced, VERDICT r3 item 7); the oracle pins them as flagged
-    (magic_ok = false, zeroed features) — not fatal, not silently decoded."""
+    CRC-valid non-baseline containers (16-bit / paletted / interlaced,
+    VERDICT r3 item 7): since round 5 the PALETTED rows are real PLTE PNGs
+    decoded end-to-end (inflate + filter + palette map — VERDICT r4 item
+    5, any palette bug flags the row and hash-mismatches); 16-bit and
+    interlaced rows stay pinned flagged (magic_ok = false, zeroed
+    features) — not fatal, not silently decoded."""
     n = _events(spark, sf_dir).count()
     media = mm.synth_media(spark, min(n, 2000))
     return mm.extract_features(media)
@@ -1192,16 +1195,22 @@ def _multimodal_oracle_sql() -> str:
         )
         SELECT media_id,
                CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-               -- unsupported-profile PNGs (i % 15 = 12) keep the same byte
-               -- length (same stored IDAT, only IHDR profile bytes differ)
-               CAST(CASE k3 WHEN 0 THEN 68 + (1 + (i*7) % 8) * (1 + 3 * (1 + i % 8))
-                            WHEN 1 THEN 44 + 2 * (100 + i % 400)
-                            ELSE 96 + 2 * (i % 9) END AS BIGINT) AS n_bytes,
-               NOT (k3 = 0 AND i % 15 = 12) AS magic_ok,
-               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 THEN 0
+               -- non-baseline PNGs (i % 15 = 12) cycle by i//15 % 3:
+               -- variant 1 is a REAL paletted PNG since round 5 (PLTE of 8
+               -- entries + 1-byte index scanlines: 104 + h*(1+w) bytes,
+               -- decoded for real); variants 0/2 (16-bit / interlaced) keep
+               -- the same stored IDAT (only IHDR profile bytes differ) and
+               -- stay flagged
+               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 AND (i // 15) % 3 = 1
+                              THEN 104 + (1 + (i*7) % 8) * (2 + i % 8)
+                         WHEN k3 = 0 THEN 68 + (1 + (i*7) % 8) * (1 + 3 * (1 + i % 8))
+                         WHEN k3 = 1 THEN 44 + 2 * (100 + i % 400)
+                         ELSE 96 + 2 * (i % 9) END AS BIGINT) AS n_bytes,
+               NOT (k3 = 0 AND i % 15 = 12 AND (i // 15) % 3 <> 1) AS magic_ok,
+               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 AND (i // 15) % 3 <> 1 THEN 0
                          WHEN k3 = 0 THEN 1 + i % 8 WHEN k3 = 1 THEN 0
                          ELSE 16 + i % 64 END AS INT) AS width,
-               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 THEN 0
+               CAST(CASE WHEN k3 = 0 AND i % 15 = 12 AND (i // 15) % 3 <> 1 THEN 0
                          WHEN k3 = 0 THEN 1 + (i*7) % 8 WHEN k3 = 1 THEN 0
                          ELSE 9 + i % 64 END AS INT) AS height,
                CAST(CASE WHEN k3 = 1 THEN 8000 + (i % 8) * 1000 ELSE 0 END AS INT) AS sample_rate,

@@ -58,20 +58,48 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
+PNG_PALETTE_N = 8  # entries in the synthetic PLTE (paletted profile)
+
+
 def synth_png(i: int) -> bytes:
     """Spec-valid 8-bit RGB PNG: w=1+i%8, h=1+(7i)%8, pixel (x,y) =
     ((i+x)%256, (3i+y)%256, (x*y+i)%256). IDAT is a zlib level-0 (stored)
     stream so its length is exactly raw_len+11 — formula-computable:
     n_bytes = 68 + h*(1+3w).
 
-    Every i with i % 15 == 12 instead carries an UNSUPPORTED-profile IHDR
-    (cycling 16-bit depth / paletted / interlaced by i//15 % 3) in an
-    otherwise CRC-valid container of the SAME byte length — these must ride
-    the flagged-not-fatal path in every decode kernel (VERDICT r3 item 7)."""
+    Every i with i % 15 == 12 instead carries a non-baseline profile,
+    cycling by i//15 % 3 (VERDICT r3 item 7):
+    - 0: 16-bit depth IHDR over the same stored IDAT (CRC-valid container,
+      SAME byte length) — flagged-not-fatal;
+    - 1: a REAL paletted (8,3,0) PNG — PLTE of PNG_PALETTE_N deterministic
+      entries (entry p = ((i+p)%256, (3i+2p)%256, (5i+3p)%256)), 1-byte
+      index scanlines with index(x,y) = (i + x*y) % PNG_PALETTE_N —
+      DECODED for real since round 5 (VERDICT r4 item 5):
+      n_bytes = 104 + 3*PNG_PALETTE_N - 24 + h*(1+w) = 104 + h*(1+w);
+    - 2: interlaced IHDR over the same stored IDAT — flagged-not-fatal."""
     w, h = 1 + i % 8, 1 + (i * 7) % 8
     depth, ctype, interlace = 8, 2, 0
     if i % 15 == 12:
-        depth, ctype, interlace = ((16, 2, 0), (8, 3, 0), (8, 2, 1))[(i // 15) % 3]
+        variant = (i // 15) % 3
+        if variant == 1:
+            plte = bytes(
+                v % 256
+                for p in range(PNG_PALETTE_N)
+                for v in ((i + p), (3 * i + 2 * p), (5 * i + 3 * p))
+            )
+            raw = b"".join(
+                b"\x00" + bytes((i + x * y) % PNG_PALETTE_N for x in range(w))
+                for y in range(h)
+            )
+            ihdr = struct.pack(">II5B", w, h, 8, 3, 0, 0, 0)
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"PLTE", plte)
+                + _png_chunk(b"IDAT", zlib.compress(raw, level=0))
+                + _png_chunk(b"IEND", b"")
+            )
+        depth, ctype, interlace = ((16, 2, 0), (8, 2, 1))[variant // 2]
     rows = []
     for y in range(h):
         rows.append(b"\x00")  # filter type 0 (None)
@@ -205,26 +233,35 @@ def decode_png_header(buf: bytes) -> dict:
 
 
 def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
-    """Full PNG pixel decode for 8-bit RGB filter-0..4 images: inflate the
-    IDAT stream and reconstruct scanlines per the PNG filter spec. Returns
-    (w, h, rgb bytes row-major)."""
+    """Full PNG pixel decode for 8-bit filter-0..4 images, truecolor RGB
+    (ctype 2) AND paletted (ctype 3, round 5 — VERDICT r4 item 5): inflate
+    the IDAT stream, reconstruct scanlines per the PNG filter spec (filter
+    distance = bytes-per-pixel: 3 for RGB, 1 for palette indices), then map
+    palette indices through PLTE. Returns (w, h, rgb bytes row-major).
+    16-bit depth and interlaced images stay loud (flagged upstream)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     w = h = None
     idat = b""
+    plte: bytes | None = None
     for typ, data in _walk_png_chunks(buf):
         if typ == b"IHDR":
             w, h, depth, ctype, _c, _f, il = struct.unpack(">II5B", data[:13])
-            if depth != 8 or ctype != 2 or il != 0:
+            if depth != 8 or ctype not in (2, 3) or il != 0:
                 raise ValueError(
                     f"unsupported PNG format depth={depth} ctype={ctype} interlace={il}"
                 )
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("paletted PNG missing/malformed PLTE")
+    bpp = 3 if ctype == 2 else 1
     raw = zlib.decompress(idat)
-    stride = 3 * w
+    stride = bpp * w
     if len(raw) < h * (1 + stride):
         raise ValueError(
             f"IDAT too short: {len(raw)} bytes for {w}x{h} (need {h * (1 + stride)})"
@@ -237,20 +274,20 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ft == 1:  # Sub
-            for k in range(3, stride):
-                line[k] = (line[k] + line[k - 3]) & 0xFF
+            for k in range(bpp, stride):
+                line[k] = (line[k] + line[k - bpp]) & 0xFF
         elif ft == 2:  # Up
             for k in range(stride):
                 line[k] = (line[k] + prev[k]) & 0xFF
         elif ft == 3:  # Average
             for k in range(stride):
-                left = line[k - 3] if k >= 3 else 0
+                left = line[k - bpp] if k >= bpp else 0
                 line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
         elif ft == 4:  # Paeth
             for k in range(stride):
-                a = line[k - 3] if k >= 3 else 0
+                a = line[k - bpp] if k >= bpp else 0
                 b = prev[k]
-                c = prev[k - 3] if k >= 3 else 0
+                c = prev[k - bpp] if k >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -259,7 +296,15 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
             raise ValueError(f"unknown PNG filter {ft}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
-    return w, h, out
+    if ctype == 2:
+        return w, h, out
+    n_pal = len(plte) // 3
+    rgb = bytearray(h * w * 3)
+    for j, idx in enumerate(out):
+        if idx >= n_pal:
+            raise ValueError(f"palette index {idx} out of range ({n_pal} entries)")
+        rgb[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
+    return w, h, rgb
 
 
 def encode_png(w: int, h: int, rgb: bytes) -> bytes:
@@ -343,11 +388,20 @@ def extract_features(df: DataFrame) -> DataFrame:
                 try:
                     if kind == "image":
                         d = decode_png_header(buf)
-                        if (d["depth"], d["ctype"], d["interlace"]) != (8, 2, 0):
-                            # valid container, unsupported profile (16-bit /
-                            # paletted / interlaced): flagged, not fatal
+                        prof = (d["depth"], d["ctype"], d["interlace"])
+                        if prof == (8, 2, 0):
+                            w, h = d["width"], d["height"]
+                        elif prof == (8, 3, 0):
+                            # paletted: decoded FOR REAL (round 5) — the
+                            # gated path runs the full inflate + filter +
+                            # PLTE mapping, so a palette bug flags the row
+                            w, h, rgb = decode_png_pixels(buf)
+                            if len(rgb) != w * h * 3:
+                                raise ValueError("palette decode size mismatch")
+                        else:
+                            # valid container, unsupported profile (16-bit
+                            # / interlaced): flagged, not fatal
                             raise ValueError("unsupported PNG profile")
-                        w, h = d["width"], d["height"]
                     elif kind == "audio":
                         d = decode_wav(buf)
                         sr, nf, dur = d["sample_rate"], d["n_frames"], d["duration_ms"]
