@@ -50,7 +50,7 @@ HEADLINE = [
     "decontaminate",
     "text_redact",
     "text_repetition",
-    "dedup_exact",
+    "dedup_substring_spans",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -87,7 +87,9 @@ EXCLUDED = {
     ),
     "dedup_minhash_lsh": (
         "same pair-relation shape as dedup_jaccard_pairs (threshold 0.5);"
-        " gated at sf0.01"
+        " since round 5 it also drives the two-batch INCREMENTAL index path"
+        " with temp-dir snapshot I/O (outcome-gated vs the full-corpus"
+        " oracle at sf0.01) — wall time is index I/O, not engine throughput"
     ),
     "dedup_simhash_pairs": (
         "banded pair relation; quadratic output on the synthetic near-dup"

@@ -146,12 +146,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """MinHash LSH candidate pairs: band the signature (N_BANDS bands of
-    N_MINHASH/N_BANDS rows), bucket-join on (band, band_signature)."""
+def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bsig): the banded MinHash signature relation — N_BANDS
+    bands of N_MINHASH/N_BANDS signature rows each. Map-side only. This IS
+    the persistable LSH index row format (see :func:`lsh_index_increment`)."""
     rows_per_band = N_MINHASH // N_BANDS
     sigs = minhash_signature(df, text_col, id_col)
-    bands = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -171,6 +172,12 @@ def lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash LSH candidate pairs: band the signature (N_BANDS bands of
+    N_MINHASH/N_BANDS rows), bucket-join on (band, band_signature)."""
+    bands = minhash_bands(df, text_col, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig")))
@@ -197,6 +204,87 @@ def minhash_lsh_dedup(
     a, b = dw.alias("a"), dw.alias("b")
     inter = (
         a.join(b, F.col("a.word") == F.col("b.word"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard_micro",
+            micro_col(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ),
+        )
+        .filter(F.col("jaccard_micro") >= int(threshold * 1e6))
+        .select("id_a", "id_b", "jaccard_micro")
+    )
+
+
+LSH_INDEX_TABLE = "lsh_bands"
+
+
+def lsh_index_increment(store, batch: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id") -> int:
+    """Incremental cross-run dedup, write side (VERDICT r4 item 2): MinHash-
+    band ONLY the new batch and append the band relation as one atomic
+    snapshot of the persisted index (``sources.storage`` snapshot store /
+    Iceberg). At 100 TB the corpus is never re-signatured per increment —
+    each run pays for its own batch; everything older is parquet on disk.
+    Returns the committed snapshot id."""
+    return store.append(minhash_bands(batch, text_col, id_col), LSH_INDEX_TABLE)
+
+
+def lsh_incremental_pairs(
+    spark,
+    store,
+    corpus: DataFrame,
+    snapshot_id: int,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental cross-run dedup, read side: near-dup pairs involving at
+    least one doc of snapshot ``snapshot_id`` — new-batch bands (read back
+    off the index, never recomputed) bucket-join the FULL index
+    (new x old + new x new); candidates are verified with exact jaccard
+    over ONLY the candidate docs (left-semi prune against ``corpus``, the
+    data lake the ids point into). Old x old pairs were emitted by earlier
+    runs, so the union of every run's output equals the full-corpus
+    :func:`minhash_lsh_dedup` relation exactly — that equality IS the
+    driver gate (q_dedup_minhash_lsh drives this path against the
+    unchanged full-corpus oracle).
+
+    Scale shape: the only signature computation per run is the batch's own
+    (in :func:`lsh_index_increment`); this side is two FileScans of the
+    band index (tiny rows: id, band, bsig) + the pruned verify. The plan
+    gate (test_lsh_incremental_*) pins that old bands come from a
+    ``snap=`` FileScan, not a re-derivation."""
+    new_bands = store.read(spark, LSH_INDEX_TABLE, after_snapshot=snapshot_id - 1)
+    all_bands = store.read(spark, LSH_INDEX_TABLE)
+    if new_bands is None or all_bands is None:
+        raise ValueError(f"snapshot {snapshot_id} not committed to {LSH_INDEX_TABLE}")
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig")))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ids = cands.select(F.col("id_a").alias("id")).unionByName(
+        cands.select(F.col("id_b").alias("id"))
+    ).distinct()
+    dw = doc_words(corpus, text_col, id_col).join(ids, "id", "left_semi")
+    sizes = dw.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    wa, wb = dw.alias("a"), dw.alias("b")
+    inter = (
+        wa.join(wb, F.col("a.word") == F.col("b.word"))
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -435,6 +523,127 @@ def decontaminate_sql(
                CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM {table} d LEFT JOIN hits h ON h.id = d.{id_col}
+    """
+
+
+SPAN_NGRAM = 5  # shingle width (words) for exact-substring span dedup
+
+
+def shingle_positions(
+    df: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, h): hex60 hash of each word ``n``-gram WITH its 1-based
+    start position — the position-keeping sibling of ``_ngram_hashes``
+    (which dedups to distinct hashes for decontamination). Map-side only."""
+    with_words = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("_ws"))
+    grams = F.when(
+        F.size(F.col("_ws")) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_ws")) - n + 1),
+            lambda i: hex60_col(F.array_join(F.slice(F.col("_ws"), i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return with_words.select("id", F.posexplode(grams).alias("pos0", "h")).select(
+        "id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"
+    )
+
+
+def substring_spans(
+    df: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring (span-level) dedup — the Lee et al. 2021 repeated-
+    substring removal mode, reshaped for Spark (no suffix array, and
+    certainly not one on the driver): every word ``n``-gram that occurs
+    MORE THAN ONCE anywhere in the corpus (intra- or inter-document) marks
+    its covered words as duplicated; per document, overlapping/adjacent
+    covered ranges merge into maximal removal spans.
+
+    Distributed shape (100 TB story):
+    1. shingle positions (map-side explode, no shuffle);
+    2. the fingerprint-partitioned index: ONE groupBy(h) partial-agg
+       shuffle keeps hashes with >= 2 occurrences — the index relation is
+       tiny relative to the corpus (only repeated shingles survive);
+    3. a left-semi join back tags duplicated positions;
+    4. span merge is a per-document window (lag + running sum islands) —
+       partition = one document, never a corpus-wide sort.
+
+    Two shingle starts p < q belong to one span iff q - p <= n (their
+    covered word ranges [p, p+n-1], [q, q+n-1] overlap or touch), so the
+    output spans are exactly the maximal unions of covered words.
+    Returns (doc_id, span_start, span_end, span_len, n_shingles) with
+    1-based inclusive word indexes."""
+    from pyspark.sql.window import Window
+
+    sp = shingle_positions(df, n, text_col, id_col)
+    dup_h = (
+        sp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    dup_pos = sp.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    new_island = (
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > n),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    runs = dup_pos.withColumn(
+        "grp",
+        F.sum(new_island).over(
+            Window.partitionBy("id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy(F.col("id").alias("doc_id"), "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_shingles",
+        )
+    )
+
+
+def substring_spans_sql(
+    table: str, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`substring_spans` (same hashes, same islands).
+    NB the two unnests in ``sp`` zip positionally (DuckDB semantics)."""
+    ws = words_sql(text_col)
+    gram = hex60_sql(f"array_to_string(w[i : i + {n - 1}], ' ')")
+    return f"""
+        WITH sp AS (
+            SELECT id,
+                   unnest(generate_series(1, len(w) - {n - 1})) AS pos,
+                   unnest([{gram} for i in generate_series(1, len(w) - {n - 1})]) AS h
+            FROM (SELECT {id_col} AS id, {ws} AS w FROM {table})
+            WHERE len(w) >= {n}
+        ),
+        dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+        dp AS (SELECT sp.id, sp.pos FROM sp JOIN dup USING (h)),
+        isl AS (
+            SELECT id, pos,
+                   SUM(CASE WHEN prev_pos IS NULL OR pos - prev_pos > {n}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY pos) AS grp
+            FROM (SELECT id, pos,
+                         LAG(pos) OVER (PARTITION BY id ORDER BY pos) AS prev_pos
+                  FROM dp)
+        )
+        SELECT id AS doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {n - 1} AS span_end,
+               MAX(pos) + {n - 1} - MIN(pos) + 1 AS span_len,
+               COUNT(*)::BIGINT AS n_shingles
+        FROM isl GROUP BY id, grp
     """
 
 

@@ -44,6 +44,44 @@ def test_exact_dedup(spark, docs_df):
     assert len(out) == 6
 
 
+def test_substring_spans_golden(spark):
+    # span-level (exact-substring) dedup — VERDICT r4 item 1. n=3 shingles:
+    # doc 1/2 share the 4-gram "a b c d" (two overlapping dup 3-grams);
+    # doc 3 repeats "p q r s" INTRA-doc and the two runs' covered ranges
+    # touch (gap == n) so they merge into ONE span; doc 4 repeats "a b c"
+    # with gap > n -> TWO spans; doc 5 has no repeats -> no rows.
+    import duckdb
+
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "x y a b c d q"),
+        (3, "p q r s p q r s"),
+        (4, "a b c z0 z1 z2 z3 a b c"),
+        (5, "completely unique words here indeed"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_len"], r["n_shingles"])
+        for r in dd.substring_spans(df, n=3).collect()
+    }
+    assert got == {
+        (1, 1): (4, 4, 2),   # "a b c d" via dup 3-grams at pos 1,2
+        (2, 3): (6, 4, 2),
+        (3, 1): (8, 8, 4),   # intra-doc repeat; runs merge (gap == n)
+        (4, 1): (3, 3, 1),   # "a b c" twice, far apart -> two spans
+        (4, 8): (10, 3, 1),
+    }
+
+    # DuckDB oracle twin agrees row-for-row
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(dd.substring_spans_sql("documents", n=3)).fetchall()
+    }
+    assert oracle == got
+
+
 def test_jaccard_pairs_golden(spark, docs_df):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard_micro"]
@@ -63,6 +101,58 @@ def test_jaccard_pairs_golden(spark, docs_df):
     assert got == want
     assert (0, 5) in got and got[(0, 5)] == 1000000  # exact dup pair
     assert (0, 1) in got  # near dup
+
+
+def test_lsh_incremental_index_no_recompute(spark, docs_df, tmp_path):
+    # VERDICT r4 item 2: incremental cross-run dedup against a persisted
+    # band index. A second run (a) signatures ONLY its own batch, (b) reads
+    # old signatures off the snapshot store instead of recomputing them
+    # (plan gate: snap= FileScans present, ZERO md5 in the pair plan), and
+    # (c) union-of-runs equals the full-corpus recompute exactly.
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    b1 = docs_df.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs_df.filter(F.col("doc_id") % 2 == 1)
+
+    s1 = dd.lsh_index_increment(store, b1)
+    assert s1 == 1
+    assert store.read(spark, dd.LSH_INDEX_TABLE).count() == dd.N_BANDS * b1.count()
+    p1 = dd.lsh_incremental_pairs(spark, store, docs_df, s1, threshold=0.5).collect()
+
+    s2 = dd.lsh_index_increment(store, b2)
+    assert s2 == 2
+    # crash-resume shape: only the NEW batch was signatured in run 2
+    assert (
+        store.read(spark, dd.LSH_INDEX_TABLE, after_snapshot=1).count()
+        == dd.N_BANDS * b2.count()
+    )
+    p2df = dd.lsh_incremental_pairs(spark, store, docs_df, s2, threshold=0.5)
+    # the ONLY files feeding the pair plan are the two index snapshots —
+    # old signatures are READ, not recomputed
+    files = p2df.inputFiles()
+    assert any("snap=1" in f for f in files) and any("snap=2" in f for f in files)
+    assert all("snap=" in f for f in files)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+        plan = p2df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "md5" not in plan.lower()  # no signature recomputation anywhere
+    p2 = p2df.collect()
+
+    inc = sorted((r["id_a"], r["id_b"], r["jaccard_micro"]) for r in p1 + p2)
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_micro"])
+        for r in dd.minhash_lsh_dedup(docs_df, threshold=0.5).collect()
+    )
+    assert inc == full and len(full) > 0
+    assert len(p1) + len(p2) == len(inc)  # runs emit disjoint pair sets
+
+    # unknown snapshot stays loud
+    with pytest.raises(ValueError, match="not committed"):
+        dd.lsh_incremental_pairs(spark, store, docs_df, 99)
 
 
 def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
