@@ -51,7 +51,7 @@ HEADLINE = [
     "text_redact",
     "text_repetition",
     "dedup_substring_spans",
-    "dedup_simhash",
+    "bpe_encode",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivfpq_topk",
@@ -92,8 +92,8 @@ EXCLUDED = {
         " oracle at sf0.01) — wall time is index I/O, not engine throughput"
     ),
     "dedup_simhash_pairs": (
-        "banded pair relation; quadratic output on the synthetic near-dup"
-        " corpus; gated at sf0.01"
+        "banded pair relation (+ the folded per-doc signature rows);"
+        " quadratic output on the synthetic near-dup corpus; gated at sf0.01"
     ),
     "dedup_survivors": (
         "consumes the minhash_lsh pair relation + iterative clustering;"

@@ -4,8 +4,15 @@ No multi-executor cluster exists in this sandbox, so the two-cluster-size
 criterion is evidenced by running the IDENTICAL job at two parallelism
 levels on the same input on the 32-core host (BASELINE.md measurement plan):
 
-    python scripts/bench_scaling.py            # orchestrates: gen + 8 + 32
+    python scripts/bench_scaling.py            # orchestrates: gen + N + 4N
     python scripts/bench_scaling.py run 8      # one timed run (subprocess)
+    python scripts/bench_scaling.py interleave # paired-leg protocol (r5)
+
+The interleave mode (VERDICT r4 item 4) alternates one-rep N-core and
+4N-core subprocess legs (N,4N,N,4N,...) so co-tenant noise lands on both
+legs of each adjacent pair symmetrically, and reports the MEDIAN of the
+per-pair efficiency ratios alongside the classic min-of-N ratio — the
+evidence no longer depends on WHICH leg a stall happened to hit.
 
 The job is the flagship pipeline over a pre-generated tokens parquet table:
 read -> serialize to raw JSON log lines -> parse (typed from_json) +
@@ -122,12 +129,63 @@ def run(cores: int) -> None:
                       "seq_per_sec": round(n / elapsed, 1)}))
 
 
+def _run_leg(cores: int, env: dict) -> dict:
+    """One single-rep timed leg in a fresh subprocess (own session, own
+    warm-up; the parquet page cache persists across legs)."""
+    leg_env = dict(env)
+    leg_env["SPARK_GRAFT_SCALE_REPS"] = "1"
+    out = subprocess.run(
+        [sys.executable, __file__, "run", str(cores)],
+        check=True, env=leg_env, capture_output=True, text=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def interleave() -> None:
+    """Paired-leg scaling protocol (VERDICT r4 item 4): K adjacent
+    (N-core, 4N-core) pairs run back-to-back; each pair yields one
+    efficiency ratio t_N / (4 * t_4N); the headline is the MEDIAN of the
+    pair ratios (noise symmetric across legs) with the min-of-all-legs
+    ratio reported alongside for continuity with rounds 1-4."""
+    import statistics
+
+    env = dict(os.environ)
+    if not os.path.exists(DATA):
+        subprocess.run([sys.executable, __file__, "gen"], check=True, env=env)
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+    legs_n, legs_4n, ratios = [], [], []
+    for k in range(pairs):
+        a = _run_leg(n, env)
+        b = _run_leg(4 * n, env)
+        legs_n.append(a["sec"])
+        legs_4n.append(b["sec"])
+        ratios.append(a["sec"] / (4 * b["sec"]))
+        print(json.dumps({"pair": k, "sec_n": a["sec"], "sec_4n": b["sec"],
+                          "pair_eff": round(ratios[-1], 3)}))
+    min_eff = min(legs_n) / (4 * min(legs_4n))
+    print(json.dumps({
+        "metric": f"tokens-pipeline scaling efficiency local[{n}]→local[{4 * n}],"
+                  " interleaved pairs",
+        "pairs": pairs,
+        "median_pair_efficiency": round(statistics.median(ratios), 3),
+        "min_of_all_legs_efficiency": round(min_eff, 3),
+        "pair_efficiencies": [round(r, 3) for r in ratios],
+        "sec_n": legs_n, "sec_4n": legs_4n,
+        "target": 0.8, "rows": ROWS,
+    }))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "gen":
         gen()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "run":
         run(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "interleave":
+        interleave()
         return
     env = dict(os.environ)
     if not os.path.exists(DATA):

@@ -44,6 +44,62 @@ def test_exact_dedup(spark, docs_df):
     assert len(out) == 6
 
 
+def test_subword_encode_golden(spark):
+    # VERDICT r4 item 8: greedy longest-match subword encode over a
+    # corpus-derived vocab, pinned against a hand-computed golden AND the
+    # DuckDB pointer-chasing oracle.
+    import duckdb
+
+    from go_log_forwarder_spark.functions import subword as sw
+
+    corpus = [
+        (1, "abab abab cd"),
+        (2, "abab dd"),
+        (3, "cdcd abab"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    vocab = sw.train_vocab(df, top_k=3)
+    # occurrences: "abab" x4, "cd" x1, "dd" x1, "cdcd" x1
+    # 2-grams: ab x8, ba x4, cd x3, dc x1, dd x1; 3-grams: aba x4, bab x4,
+    # cdc x1, dcd x1; 4-grams: abab x4, cdcd x1
+    # top-3 by (count desc, piece asc): ab(8), aba(4), abab(4) -> ties at 4
+    # break lexicographically: aba < abab < ba -> top3 = ab, aba, abab
+    # singles: a b c d. vocab sorted: a,ab,aba,abab,b,c,d -> ids 1..7
+    assert vocab == {"a": 1, "ab": 2, "aba": 3, "abab": 4, "b": 5, "c": 6, "d": 7}
+    got = {r["doc_id"]: (r["n_tokens"], r["tokens_md5"]) for r in
+           sw.encode_docs(df, vocab).collect()}
+    import hashlib as hl
+
+    def md5(ids):
+        return hl.md5(",".join(map(str, ids)).encode()).hexdigest()
+
+    # greedy: "abab" -> [abab]; "cd" -> [c, d]; "dd" -> [d, d];
+    # "cdcd" -> [c, d, c, d]
+    assert got == {
+        1: (4, md5([4, 4, 6, 7])),
+        2: (3, md5([4, 7, 7])),
+        3: (5, md5([6, 7, 6, 7, 4])),
+    }
+
+    # DuckDB oracle twin agrees
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sw.subword_oracle_sql("documents", top_k=3)).fetchall()
+    }
+    assert oracle == got
+
+    # encode is a map-side Arrow kernel: ZERO shuffle in its plan
+    plan = sw.encode_docs(df, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # out-of-vocab characters stay loud
+    df2 = spark.createDataFrame([(9, "zz")], "doc_id long, text string")
+    with pytest.raises(Exception, match="not in vocab"):
+        sw.encode_docs(df2, vocab).collect()
+
+
 def test_substring_spans_golden(spark):
     # span-level (exact-substring) dedup — VERDICT r4 item 1. n=3 shingles:
     # doc 1/2 share the 4-gram "a b c d" (two overlapping dup 3-grams);
