@@ -238,6 +238,21 @@ def lsh_index_increment(store, batch: DataFrame,
     return store.append(minhash_bands(batch, text_col, id_col), LSH_INDEX_TABLE)
 
 
+def lsh_index_compact(spark, store, target_mb: int = 128) -> int | None:
+    """Compact the persisted LSH band index (round-5 TODO closure): after
+    thousands of per-batch :func:`lsh_index_increment` appends the index is
+    thousands of tiny ``snap=`` dirs, and every :func:`lsh_incremental_pairs`
+    plan pays a FileScan per snapshot. Folding them into one snapshot
+    (``store.compact`` — Iceberg rewrite_data_files analog) keeps the
+    band-relation bytes identical while the plan reads ONE dir.
+
+    Must run at a quiescent point between batch runs: the compacted
+    snapshot keeps the newest id, so a run that already emitted its pairs
+    never re-reads its own bands as new (each run reads only the snapshot
+    it just committed as its new-batch side)."""
+    return store.compact(spark, LSH_INDEX_TABLE, target_mb=target_mb)
+
+
 def lsh_incremental_pairs(
     spark,
     store,

