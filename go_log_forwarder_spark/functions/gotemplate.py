@@ -52,6 +52,18 @@ Catalyst (one projection, no Python in the hot path):
   free expressions, so compile-time substitution is exact and everything
   stays one Catalyst projection.
 
+- comparison / boolean builtins (round 5): ``eq`` (n-ary: true when the
+  first arg equals ANY later arg, per text/template), ``ne``/``lt``/
+  ``le``/``gt``/``ge`` (2-ary; string comparison is lexicographic, int
+  comparison numeric — mixed kinds are a BUILD error where Go errors at
+  execute time), ``not`` (Go truth negation), and ``and``/``or`` with
+  Go's VALUE semantics (``and`` returns the first falsy arg or the last;
+  ``or`` the first truthy or the last — so ``{{or .Data.a "dflt"}}``
+  renders the fallback, and truth composes as plain boolean logic).
+  Bare integer literals are accepted as arguments (``{{if eq (len
+  .Data) 2}}``). Booleans render as ``true``/``false`` and printf only
+  via ``%v`` (Go's ``%s``-on-bool mangles; kept loud).
+
 Anything else (other functions, ``$x = `` reassignment, ``$x.field``
 access, range over non-``.Data``) raises ``ValueError`` at build time —
 loud beats silently-wrong output.
@@ -143,6 +155,13 @@ class _Lit(_Node):
 
 
 @dataclass
+class _IntLit(_Node):
+    """Bare integer literal argument, e.g. ``{{if eq (len .Data) 2}}``."""
+
+    value: int
+
+
+@dataclass
 class _Call(_Node):
     fn: str  # printf | len | index
     args: list = field(default_factory=list)
@@ -167,6 +186,13 @@ class _VarDecl(_Node):
 _VARNAME = re.compile(r"^\$(\w+)$")
 _VARDECL = re.compile(r"^\$(\w+)\s*(:=|=)\s*(.+)$", re.S)
 _RANGE_VARS = re.compile(r"^\$(\w+)\s*(?:,\s*\$(\w+)\s*)?:=\s*(.+)$", re.S)
+_INT = re.compile(r"^-?\d+$")
+
+# the compilable slice of text/template's builtin function set
+_FUNCS = (
+    "printf", "len", "index",
+    "eq", "ne", "lt", "le", "gt", "ge", "and", "or", "not",
+)
 
 
 def _parse_field(expr: str, template: str) -> _Field | _Dot | _VarRef:
@@ -190,9 +216,37 @@ def _parse_field(expr: str, template: str) -> _Field | _Dot | _VarRef:
 
 _CALL_TOKEN = re.compile(
     r'\s*(?:"((?:[^"\\]|\\.)*)"'  # quoted string literal
-    r"|\(([^()]*)\)"  # one-level parenthesized sub-call
     r"|([^\s()\"]+))"  # bare word / field
 )
+
+
+def _scan_paren(rest: str, pos: int) -> tuple[str, int] | None:
+    """If ``rest[pos:]`` (after whitespace) opens a parenthesized sub-call,
+    return (inner text, end index past the close paren) with BALANCED paren
+    matching — ``(gt (len .Data.k) 1)`` nests arbitrarily; parens and quotes
+    inside string literals are content."""
+    while pos < len(rest) and rest[pos].isspace():
+        pos += 1
+    if pos >= len(rest) or rest[pos] != "(":
+        return None
+    depth, i, in_str = 1, pos + 1, False
+    while i < len(rest):
+        c = rest[i]
+        if in_str:
+            if c == "\\":
+                i += 1
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[pos + 1 : i], i + 1
+        i += 1
+    return None  # unbalanced — let the caller raise
 
 _QUOTED = re.compile(r'^"((?:[^"\\]|\\.)*)"$')
 
@@ -248,14 +302,14 @@ def _parse_expr(expr: str, template: str) -> _Node:
                     f"unsupported template expression {expr!r} in {template!r}"
                 )
             head = stage.split(None, 1)[0]
-            if head not in ("printf", "len", "index"):
+            if head not in _FUNCS:
                 raise ValueError(
                     f"unsupported template function {head!r} in {template!r}"
                 )
             acc = _parse_call(stage, template, piped=acc)
         return acc
     head = expr.split(None, 1)[0] if expr.split() else expr
-    if head in ("printf", "len", "index"):
+    if head in _FUNCS:
         return _parse_call(expr, template)
     return _parse_field(expr, template)
 
@@ -270,6 +324,18 @@ def _parse_call(expr: str, template: str, piped: _Node | None = None) -> _Call:
     args: list[_Node] = []
     pos = 0
     while pos < len(rest):
+        paren = _scan_paren(rest, pos)
+        if paren is not None:
+            inner, pos = paren
+            sub = _parse_expr(inner.strip(), template)
+            if not isinstance(sub, _Call):
+                raise ValueError(
+                    f"parenthesized argument must be a call in {template!r}"
+                )
+            if sub.fn == "printf":
+                raise ValueError(f"nested printf not supported in {template!r}")
+            args.append(sub)
+            continue
         m = _CALL_TOKEN.match(rest, pos)
         if not m:
             if rest[pos:].strip():
@@ -280,21 +346,32 @@ def _parse_call(expr: str, template: str, piped: _Node | None = None) -> _Call:
         pos = m.end()
         if m.group(1) is not None:
             args.append(_Lit(m.group(1).replace('\\"', '"').replace("\\\\", "\\")))
-        elif m.group(2) is not None:
-            sub = _parse_call(m.group(2).strip(), template)
-            if sub.fn == "printf":
-                raise ValueError(f"nested printf not supported in {template!r}")
-            args.append(sub)
         else:
-            args.append(_parse_field(m.group(3), template))
+            w = m.group(2)
+            if _INT.match(w):
+                args.append(_IntLit(int(w)))
+            else:
+                args.append(_parse_field(w, template))
     if piped is not None:
         # a piped printf is fine: its string result is an ordinary operand
         # for len / the next printf (Go pipelines chain exactly this way)
         args.append(piped)
 
     if fn == "len":
-        if len(args) != 1 or isinstance(args[0], _Lit):
-            raise ValueError(f"len takes one field argument in {template!r}")
+        if len(args) != 1:
+            raise ValueError(f"len takes one argument in {template!r}")
+    elif fn == "eq":
+        if len(args) < 2:
+            raise ValueError(f"eq needs at least two arguments in {template!r}")
+    elif fn in ("ne", "lt", "le", "gt", "ge"):
+        if len(args) != 2:
+            raise ValueError(f"{fn} takes exactly two arguments in {template!r}")
+    elif fn == "not":
+        if len(args) != 1:
+            raise ValueError(f"not takes one argument in {template!r}")
+    elif fn in ("and", "or"):
+        if not args:
+            raise ValueError(f"{fn} needs at least one argument in {template!r}")
     elif fn == "index":
         ok = (
             len(args) == 2
@@ -342,7 +419,9 @@ def _parse(template: str) -> list[_Node]:
         pending_trim = m.group(3) == "-"
         pos = m.end()
         if action.startswith("if "):
-            node = _If(_parse_field(action[3:].strip(), template))
+            # condition may be any supported expression: field, $var, or a
+            # comparison/boolean call ({{if eq .Tag "x"}}, {{if not ...}})
+            node = _If(_parse_expr(action[3:].strip(), template))
             emit(node)
             stack.append(node)
         elif action.startswith("range "):
@@ -428,16 +507,10 @@ def compile_go_template(
             if binding[0] == "col":
                 _, col, kind = binding
                 return col != 0 if kind == "int" else col.isNotNull() & (col != "")
+            # Go truth of the UNDERLYING value: a var bound to a missing
+            # .Data.key is nil (falsy) even though it RENDERS "<no value>"
             _, node, ddot, denv = binding
-            if isinstance(node, (_Field, _VarRef)):
-                # Go truth of the UNDERLYING value: a var bound to a
-                # missing .Data.key is nil (falsy) even though it RENDERS
-                # as "<no value>"
-                return truthy(node, denv)
-            if isinstance(node, _Dot):
-                return ddot.isNotNull() & (ddot != "")
-            col, kind = eval_arg(node, ddot, denv)
-            return col != 0 if kind == "int" else col.isNotNull() & (col != "")
+            return node_truthy(node, ddot, denv)
         if f.root == "Timestamp":
             return F.lit(True)
         if f.root == "Tag":
@@ -459,10 +532,55 @@ def compile_go_template(
         _, node, ddot, denv = binding
         return eval_arg(node, ddot, denv)
 
+    def node_truthy(a: _Node, dot: Column | None, env: dict) -> Column:
+        """Go template truth of ANY supported expression node."""
+        if isinstance(a, (_Field, _VarRef)):
+            return truthy(a, env)
+        if isinstance(a, _Dot):
+            if dot is None:
+                raise ValueError(f"{{{{.}}}} outside a range/with body in {template!r}")
+            return dot.isNotNull() & (dot != "")
+        if isinstance(a, _Lit):
+            return F.lit(a.value != "")
+        if isinstance(a, _IntLit):
+            return F.lit(a.value != 0)
+        if isinstance(a, _Call):
+            if a.fn == "index":
+                # truth of the UNDERLYING map value (nil is falsy), not of
+                # the "<no value>" rendering
+                item = parsed.getItem(a.args[1].value)
+                return item.isNotNull() & (item != "")
+            if a.fn == "and":
+                cond = node_truthy(a.args[0], dot, env)
+                for x in a.args[1:]:
+                    cond = cond & node_truthy(x, dot, env)
+                return cond
+            if a.fn == "or":
+                cond = node_truthy(a.args[0], dot, env)
+                for x in a.args[1:]:
+                    cond = cond | node_truthy(x, dot, env)
+                return cond
+            col, kind = eval_call(a, dot, env)
+            if kind == "bool":
+                return col
+            if kind == "int":
+                return col != 0
+            return col.isNotNull() & (col != "")
+        raise ValueError(f"unsupported condition in {template!r}")
+
+    def _to_str(col: Column, kind: str) -> Column:
+        if kind == "int":
+            return col.cast("string")
+        if kind == "bool":
+            return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+        return col
+
     def eval_arg(a: _Node, dot: Column | None, env: dict) -> tuple[Column, str]:
-        """Evaluate a call argument -> (column, kind) with kind 'str'|'int'."""
+        """Evaluate a call argument -> (column, kind), kind 'str'|'int'|'bool'."""
         if isinstance(a, _Lit):
             return F.lit(a.value), "str"
+        if isinstance(a, _IntLit):
+            return F.lit(a.value).cast("long"), "int"
         if isinstance(a, _Dot):
             if dot is None:
                 raise ValueError(f"{{{{.}}}} outside a range/with body in {template!r}")
@@ -478,11 +596,11 @@ def compile_go_template(
     def eval_call(n: _Call, dot: Column | None, env: dict) -> tuple[Column, str]:
         if n.fn == "len":
             a = n.args[0]
-            if isinstance(a, (_Dot, _VarRef, _Lit)):
+            if isinstance(a, (_Dot, _VarRef, _Lit, _IntLit)):
                 col, kind = eval_arg(a, dot, env)
-                if kind == "int":
+                if kind != "str":
                     raise ValueError(
-                        f"len of an integer is not a Go operation in {template!r}"
+                        f"len of a {kind} is not a Go operation in {template!r}"
                     )
                 return F.octet_length(F.coalesce(col, F.lit(""))).cast("long"), "int"
             if isinstance(a, _Call):  # len (index .Data "k") / piped call
@@ -511,6 +629,52 @@ def compile_go_template(
         if n.fn == "index":
             key = n.args[1].value
             return F.coalesce(parsed.getItem(key), F.lit("<no value>")), "str"
+        if n.fn in ("eq", "ne", "lt", "le", "gt", "ge"):
+            vals = [eval_arg(a, dot, env) for a in n.args]
+            kinds = {k for _, k in vals}
+            if kinds != {"str"} and kinds != {"int"}:
+                # Go errors at execute time on incomparable kinds; we stay
+                # loud at build time (strings compare lexicographically,
+                # ints numerically — never across kinds)
+                raise ValueError(
+                    f"{n.fn} needs arguments of one comparable kind"
+                    f" (all-string or all-int) in {template!r}"
+                )
+            cols = [c for c, _ in vals]
+            if n.fn == "eq":
+                # n-ary eq: true when arg1 equals ANY later arg
+                cond = cols[0] == cols[1]
+                for c in cols[2:]:
+                    cond = cond | (cols[0] == c)
+                return cond, "bool"
+            ops = {
+                "ne": Column.__ne__, "lt": Column.__lt__, "le": Column.__le__,
+                "gt": Column.__gt__, "ge": Column.__ge__,
+            }
+            return ops[n.fn](cols[0], cols[1]), "bool"
+        if n.fn == "not":
+            return ~node_truthy(n.args[0], dot, env), "bool"
+        if n.fn in ("and", "or"):
+            # Go VALUE semantics: and -> first falsy arg or the last;
+            # or -> first truthy arg or the last. Mixed result kinds
+            # stringify (each branch renders as it would alone).
+            pairs = [
+                (eval_arg(a, dot, env), node_truthy(a, dot, env))
+                for a in n.args
+            ]
+            kinds = {k for (_, k), _ in pairs}
+            if len(kinds) == 1:
+                out_kind = next(iter(kinds))
+                vals = [v for (v, _), _ in pairs]
+            else:
+                out_kind = "str"
+                vals = [_to_str(v, k) for (v, k), _ in pairs]
+            acc = vals[-1]
+            for i in range(len(pairs) - 2, -1, -1):
+                t = pairs[i][1]
+                cond = t if n.fn == "or" else ~t
+                acc = F.when(cond, vals[i]).otherwise(acc)
+            return acc, out_kind
         # printf: validate verbs against arg kinds, compile to format_string.
         # Linear scan, not regex (ADVICE r4): a trailing unpaired '%' must be
         # a BUILD-time error (format_string throws UnknownFormatConversion at
@@ -557,8 +721,13 @@ def compile_go_template(
                 raise ValueError(
                     f"printf %d needs an integer arg (len ...) in {template!r}"
                 )
-            if v in ("s", "v") and kind == "int":
-                col = col.cast("string")
+            if v == "s" and kind == "bool":
+                # Go renders %!s(bool=true) for %s-on-bool — loud, use %v
+                raise ValueError(
+                    f"printf %s of a boolean is mangled in Go; use %v in {template!r}"
+                )
+            if v in ("s", "v") and kind != "str":
+                col = _to_str(col, kind)
             cols.append(col)
         return F.format_string("".join(jparts), *cols), "str"
 
@@ -580,10 +749,10 @@ def compile_go_template(
                 env[n.name] = ("expr", n.value, dot, dict(env))
             elif isinstance(n, _VarRef):
                 col, kind = lookup_var(n, env)
-                parts.append(col.cast("string") if kind == "int" else col)
+                parts.append(_to_str(col, kind))
             elif isinstance(n, _Call):
                 col, kind = eval_call(n, dot, env)
-                parts.append(col.cast("string") if kind == "int" else col)
+                parts.append(_to_str(col, kind))
             elif isinstance(n, _Dot):
                 if dot is None:
                     raise ValueError(
@@ -618,8 +787,7 @@ def compile_go_template(
             elif isinstance(n, _With):
                 if isinstance(n.target, _VarRef):
                     val, vkind = lookup_var(n.target, env)
-                    if vkind == "int":
-                        val = val.cast("string")
+                    val = _to_str(val, vkind)
                 elif n.target.root == "Timestamp":
                     val = go_time_string(event_time)
                 elif n.target.root == "Tag":
@@ -629,15 +797,16 @@ def compile_go_template(
                 else:
                     val = parsed.getItem(n.target.key)
                 parts.append(
-                    F.when(truthy(n.target, env), render(n.then, dot=val, env=env)).otherwise(
-                        render(n.orelse, dot, env)
-                    )
+                    F.when(
+                        node_truthy(n.target, dot, env),
+                        render(n.then, dot=val, env=env),
+                    ).otherwise(render(n.orelse, dot, env))
                 )
             else:
                 parts.append(
-                    F.when(truthy(n.cond, env), render(n.then, dot, env)).otherwise(
-                        render(n.orelse, dot, env)
-                    )
+                    F.when(
+                        node_truthy(n.cond, dot, env), render(n.then, dot, env)
+                    ).otherwise(render(n.orelse, dot, env))
                 )
         return F.concat(*parts) if parts else F.lit("")
 

@@ -1262,3 +1262,75 @@ def test_go_template_pipelines_and_variables(spark, event_df):
             "{{if .Data}}{{$y := .Tag}}{{end}}{{$y}}",
             F.lit(None), F.lit(""), F.lit(None),
         )
+
+
+def test_go_template_comparison_and_boolean_builtins(spark, event_df):
+    # round-5: eq/ne/lt/le/gt/ge, and/or with Go VALUE semantics, not,
+    # and bare integer literals — all still one Column projection
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    def render(tpl):
+        return [
+            r["t"]
+            for r in event_df.select(
+                compile_go_template(
+                    tpl, F.col("parsed"), F.col("tag"), F.col("event_time")
+                ).alias("t")
+            ).collect()
+        ]
+
+    # eq in conditions; n-ary eq = first arg equals ANY later arg
+    assert render('{{if eq .Tag "app-x"}}X{{else}}notX{{end}}') == ["X", "notX"]
+    assert render('{{if eq .Tag "a" "app-y"}}hit{{else}}miss{{end}}') == [
+        "miss", "hit",
+    ]
+    # int comparisons with bare int literals
+    assert render("{{if eq (len .Data) 2}}two{{else}}other{{end}}") == [
+        "two", "other",
+    ]
+    assert render("{{if gt (len .Data) 0}}has{{else}}none{{end}}") == [
+        "has", "none",
+    ]
+    assert render("{{if le (len .Data) 1}}small{{else}}big{{end}}") == [
+        "big", "small",
+    ]
+    # not = Go truth negation (missing .Data.a on row 2 is falsy)
+    assert render("{{if not .Data.a}}noA{{else}}A{{end}}") == ["A", "noA"]
+    # and/or truth composition
+    assert render("{{if and .Data.a .Data.b}}both{{else}}nope{{end}}") == [
+        "both", "nope",
+    ]
+    assert render("{{if or .Data.zz .Data.a}}some{{else}}none{{end}}") == [
+        "some", "none",
+    ]
+    # Go VALUE semantics: or renders the first truthy arg (fallback idiom)
+    assert render('{{or .Data.a "dflt"}}') == ["1", "dflt"]
+    assert render("{{and .Data.a .Data.b}}") == ["2", "<no value>"]
+    # booleans render true/false and printf via %v
+    assert render('{{eq .Tag "app-x"}}') == ["true", "false"]
+    assert render('{{printf "is=%v" (eq .Tag "app-x")}}') == [
+        "is=true", "is=false",
+    ]
+    # pipelines and variables compose with the new builtins
+    assert render('{{$isx := eq .Tag "app-x"}}{{if $isx}}X{{else}}-{{end}}') == [
+        "X", "-",
+    ]
+    assert render('{{len .Data | eq 2}}') == ["true", "false"]
+    # arbitrarily nested sub-calls (balanced-paren scan, not one-level regex)
+    assert render('{{if and .Data.a (eq (len .Data) 2)}}Y{{else}}-{{end}}') == [
+        "Y", "-",
+    ]
+    assert render('{{printf "big=%v" (gt (len .Data) 1)}}') == [
+        "big=true", "big=false",
+    ]
+
+    for tpl in (
+        '{{if eq (len .Data) "2"}}x{{end}}',  # mixed-kind comparison
+        "{{ne .Tag}}",                        # arity
+        '{{not .Tag .Tag}}',                  # arity
+        '{{printf "%s" (eq .Tag "x")}}',      # %s-on-bool mangles in Go
+        '{{printf "%d" (eq .Tag "x")}}',      # %d-on-bool
+        "{{len 5}}",                          # len of an integer
+    ):
+        with pytest.raises(ValueError):
+            compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
