@@ -64,9 +64,21 @@ Catalyst (one projection, no Python in the hot path):
   .Data) 2}}``). Booleans render as ``true``/``false`` and printf only
   via ``%v`` (Go's ``%s``-on-bool mangles; kept loud).
 
-Anything else (other functions, ``$x = `` reassignment, ``$x.field``
-access, range over non-``.Data``) raises ``ValueError`` at build time —
-loud beats silently-wrong output.
+- ``$x = `` reassignment (late round 5): Go mutates the variable in its
+  DECLARING scope, so an assignment inside an if/with branch is visible
+  after ``{{end}}`` — compiled as a conditional phi-merge at the block
+  join (``F.when(cond, then_value).otherwise(prior)``). Assignment to an
+  enclosing-scope variable inside ``range`` is loop-carried state (each
+  iteration needs the last one's value) and stays a loud build error.
+
+- ``html`` / ``urlquery`` escapers (late round 5): template.HTMLEscape's
+  exact entity set via chained ``F.replace``; url.QueryEscape via
+  ``F.url_encode`` plus the two-byte Java↔Go delta ('*' and '~').
+  ``printf %x`` (string form) compiles to ``lower(hex(col))``.
+
+Anything else (other functions — slice, call, printf %q/%f/%t —
+``$x.field`` access, range over non-``.Data``) raises ``ValueError`` at
+build time — loud beats silently-wrong output.
 """
 
 from __future__ import annotations
@@ -175,6 +187,16 @@ class _VarRef(_Node):
 
 
 @dataclass
+class _VarAssign(_Node):
+    """``{{$x = expr}}`` — Go reassignment: mutates the variable in its
+    declaring scope, so an assignment inside an if/with branch is visible
+    after ``{{end}}`` (compiled as a conditional phi-merge at the join)."""
+
+    name: str
+    value: _Node
+
+
+@dataclass
 class _VarDecl(_Node):
     """``{{$name := <pipeline>}}`` — renders nothing; binds for the rest
     of the enclosing block (and nested blocks), per text/template."""
@@ -192,6 +214,7 @@ _INT = re.compile(r"^-?\d+$")
 _FUNCS = (
     "printf", "len", "index",
     "eq", "ne", "lt", "le", "gt", "ge", "and", "or", "not",
+    "html", "urlquery",
 )
 
 
@@ -308,6 +331,11 @@ def _parse_expr(expr: str, template: str) -> _Node:
                 )
             acc = _parse_call(stage, template, piped=acc)
         return acc
+    m = _QUOTED.match(expr)
+    if m:  # {{$x := "lit"}} / {{"lit"}} — Go renders the constant
+        return _Lit(m.group(1).replace('\\"', '"').replace("\\\\", "\\"))
+    if _INT.match(expr):
+        return _IntLit(int(expr))
     head = expr.split(None, 1)[0] if expr.split() else expr
     if head in _FUNCS:
         return _parse_call(expr, template)
@@ -372,6 +400,11 @@ def _parse_call(expr: str, template: str, piped: _Node | None = None) -> _Call:
     elif fn in ("and", "or"):
         if not args:
             raise ValueError(f"{fn} needs at least one argument in {template!r}")
+    elif fn in ("html", "urlquery"):
+        # Go accepts n args (fmt.Sprint-joined); the 1-arg form is the only
+        # one the reference's templates could use — keep n-ary loud
+        if len(args) != 1:
+            raise ValueError(f"{fn} takes one argument in {template!r}")
     elif fn == "index":
         ok = (
             len(args) == 2
@@ -445,12 +478,11 @@ def _parse(template: str) -> list[_Node]:
             stack.append(node)
         elif _VARDECL.match(action):
             md = _VARDECL.match(action)
+            value = _parse_expr(md.group(3).strip(), template)
             if md.group(2) == "=":
-                raise ValueError(
-                    f"unsupported template expression {action!r} in {template!r}"
-                    " ($x = reassignment is not compilable; use :=)"
-                )
-            emit(_VarDecl(md.group(1), _parse_expr(md.group(3).strip(), template)))
+                emit(_VarAssign(md.group(1), value))
+            else:
+                emit(_VarDecl(md.group(1), value))
         elif action.startswith("with "):
             target = _parse_field(action[5:].strip(), template)
             if isinstance(target, _Dot):
@@ -506,6 +538,8 @@ def compile_go_template(
             binding = _binding(f, env)
             if binding[0] == "col":
                 _, col, kind = binding
+                if kind == "bool":
+                    return col
                 return col != 0 if kind == "int" else col.isNotNull() & (col != "")
             # Go truth of the UNDERLYING value: a var bound to a missing
             # .Data.key is nil (falsy) even though it RENDERS "<no value>"
@@ -654,6 +688,27 @@ def compile_go_template(
             return ops[n.fn](cols[0], cols[1]), "bool"
         if n.fn == "not":
             return ~node_truthy(n.args[0], dot, env), "bool"
+        if n.fn == "html":
+            # template.HTMLEscape's exact five entities + NUL -> U+FFFD;
+            # '&' first so entity ampersands aren't re-escaped
+            col, kind = eval_arg(n.args[0], dot, env)
+            s = _to_str(col, kind)
+            for a, b in (
+                ("&", "&amp;"), ("'", "&#39;"), ("<", "&lt;"),
+                (">", "&gt;"), ('"', "&#34;"), ("\x00", "�"),
+            ):
+                s = F.replace(s, F.lit(a), F.lit(b))
+            return s, "str"
+        if n.fn == "urlquery":
+            # url.QueryEscape: url_encode is java.net.URLEncoder, which
+            # differs from Go on exactly two bytes — Java keeps '*' (Go
+            # wants %2A) and escapes '~' (Go keeps it). A literal '%7E'
+            # in the input can't collide: its '%' is already '%25' here.
+            col, kind = eval_arg(n.args[0], dot, env)
+            s = F.url_encode(_to_str(col, kind))
+            s = F.replace(s, F.lit("*"), F.lit("%2A"))
+            s = F.replace(s, F.lit("%7E"), F.lit("~"))
+            return s, "str"
         if n.fn in ("and", "or"):
             # Go VALUE semantics: and -> first falsy arg or the last;
             # or -> first truthy arg or the last. Mixed result kinds
@@ -703,10 +758,15 @@ def compile_go_template(
             elif nxt == "d":
                 verbs.append(nxt)
                 jparts.append("%d")
+            elif nxt == "x":
+                # Go %x of a string = lowercase hex of its bytes; computed
+                # as lower(hex(col)) so the format slot is a plain %s
+                verbs.append(nxt)
+                jparts.append("%s")
             else:
                 raise ValueError(
                     f"printf verb %{nxt} not in the compilable subset"
-                    f" (%s, %v, %d, %%) in {template!r}"
+                    f" (%s, %v, %d, %x, %%) in {template!r}"
                 )
             i += 2
         args = [eval_arg(a, dot, env) for a in n.args[1:]]
@@ -726,6 +786,14 @@ def compile_go_template(
                 raise ValueError(
                     f"printf %s of a boolean is mangled in Go; use %v in {template!r}"
                 )
+            if v == "x":
+                if kind != "str":
+                    # Go %x of a NEGATIVE int is "-f"-style while hex() is
+                    # two's-complement — restrict to the string form
+                    raise ValueError(
+                        f"printf %x needs a string arg in {template!r}"
+                    )
+                col = F.lower(F.hex(col))
             if v in ("s", "v") and kind != "str":
                 col = _to_str(col, kind)
             cols.append(col)
@@ -735,18 +803,52 @@ def compile_go_template(
         nodes: list[_Node],
         dot: Column | None = None,
         env: dict | None = None,
+        out_assigns: dict | None = None,
     ) -> Column:
         # each block body gets its OWN copy: a declaration binds for the
         # rest of this block (and nested blocks render with the then-
         # current copy), but never leaks to the enclosing block — Go's
-        # := scoping
+        # := scoping. ``=`` ASSIGNMENT does cross block boundaries (Go
+        # mutates the declaring scope): a branch body reports assignments
+        # to enclosing-scope vars through ``out_assigns``, and the parent
+        # phi-merges them under the branch condition.
+        outer = frozenset(env) if env else frozenset()
         env = dict(env) if env else {}
         parts = []
+
+        def note_assign(name: str, col: Column, kind: str) -> None:
+            env[name] = ("col", col, kind)
+            if out_assigns is not None and name in outer:
+                out_assigns[name] = (col, kind)
+
+        def merge_assigns(cond: Column, then_a: dict, else_a: dict) -> None:
+            for name in set(then_a) | set(else_a):
+                base = lookup_var(_VarRef(name), env)
+                tc, tk = then_a.get(name, base)
+                ec, ek = else_a.get(name, base)
+                if tk != ek:
+                    tc, ec, k = _to_str(tc, tk), _to_str(ec, ek), "str"
+                else:
+                    k = tk
+                note_assign(name, F.when(cond, tc).otherwise(ec), k)
+
         for n in nodes:
             if isinstance(n, _Text):
                 parts.append(F.lit(n.text))
+            elif isinstance(n, _Lit):
+                parts.append(F.lit(n.value))
+            elif isinstance(n, _IntLit):
+                parts.append(F.lit(str(n.value)))
             elif isinstance(n, _VarDecl):
                 env[n.name] = ("expr", n.value, dot, dict(env))
+            elif isinstance(n, _VarAssign):
+                if n.name not in env:
+                    raise ValueError(
+                        f"assignment to undeclared variable ${n.name}"
+                        f" in {template!r}"
+                    )
+                col, kind = eval_arg(n.value, dot, env)
+                note_assign(n.name, col, kind)
             elif isinstance(n, _VarRef):
                 col, kind = lookup_var(n, env)
                 parts.append(_to_str(col, kind))
@@ -763,8 +865,9 @@ def compile_go_template(
                 parts.append(render_field(n))
             elif isinstance(n, _Range):
                 entries = F.array_sort(F.map_entries(parsed))
+                body_assigns: dict = {}
 
-                def make_body(n, env):
+                def make_body(n, env, body_assigns):
                     # closure factory: the transform lambda must have
                     # EXACTLY one parameter (default args would make Spark
                     # treat it as an (element, index, ...) HOF lambda)
@@ -774,16 +877,31 @@ def compile_go_template(
                             benv[n.kvar] = ("col", e.getField("key"), "str")
                         if n.vvar:
                             benv[n.vvar] = ("col", e.getField("value"), "str")
-                        return render(n.then, dot=e.getField("value"), env=benv)
+                        return render(
+                            n.then, dot=e.getField("value"), env=benv,
+                            out_assigns=body_assigns,
+                        )
 
                     return body_for
 
-                body = F.array_join(F.transform(entries, make_body(n, env)), "")
-                parts.append(
-                    F.when(
-                        F.coalesce(F.size(entries), F.lit(0)) > 0, body
-                    ).otherwise(render(n.orelse, dot, env))
+                body = F.array_join(
+                    F.transform(entries, make_body(n, env, body_assigns)), ""
                 )
+                if body_assigns:
+                    # loop-carried state: each iteration would need the
+                    # previous one's value — not a columnar expression
+                    raise ValueError(
+                        "assignment to an enclosing-scope variable inside"
+                        f" range is not compilable in {template!r}"
+                    )
+                ran = F.coalesce(F.size(entries), F.lit(0)) > 0
+                else_assigns: dict = {}
+                parts.append(
+                    F.when(ran, body).otherwise(
+                        render(n.orelse, dot, env, else_assigns)
+                    )
+                )
+                merge_assigns(ran, {}, else_assigns)
             elif isinstance(n, _With):
                 if isinstance(n.target, _VarRef):
                     val, vkind = lookup_var(n.target, env)
@@ -796,18 +914,25 @@ def compile_go_template(
                     val = go_map_string(parsed)
                 else:
                     val = parsed.getItem(n.target.key)
+                cond = node_truthy(n.target, dot, env)
+                then_a: dict = {}
+                else_a: dict = {}
                 parts.append(
                     F.when(
-                        node_truthy(n.target, dot, env),
-                        render(n.then, dot=val, env=env),
-                    ).otherwise(render(n.orelse, dot, env))
+                        cond, render(n.then, dot=val, env=env, out_assigns=then_a)
+                    ).otherwise(render(n.orelse, dot, env, else_a))
                 )
+                merge_assigns(cond, then_a, else_a)
             else:
+                cond = node_truthy(n.cond, dot, env)
+                then_a = {}
+                else_a = {}
                 parts.append(
                     F.when(
-                        node_truthy(n.cond, dot, env), render(n.then, dot, env)
-                    ).otherwise(render(n.orelse, dot, env))
+                        cond, render(n.then, dot, env, then_a)
+                    ).otherwise(render(n.orelse, dot, env, else_a))
                 )
+                merge_assigns(cond, then_a, else_a)
         return F.concat(*parts) if parts else F.lit("")
 
     return render(_parse(template))

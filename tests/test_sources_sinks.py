@@ -1186,7 +1186,7 @@ def test_go_template_builtin_calls(spark, event_df):
 
     # loud on everything outside the subset
     for tpl in (
-        '{{printf "%x" .Tag}}',          # verb outside subset
+        '{{printf "%q" .Tag}}',          # verb outside subset
         '{{printf "%d" .Tag}}',          # %d needs an int-valued arg
         '{{printf "%s %s" .Tag}}',       # verb/arg count mismatch
         "{{len .Timestamp}}",            # not a Go len operand
@@ -1194,7 +1194,7 @@ def test_go_template_builtin_calls(spark, event_df):
         '{{index .Tag "a"}}',            # index only over .Data
         "{{.Tag | upper}}",              # unknown pipeline target
         '{{$x | printf "%s"}}',          # UNDECLARED $variable
-        "{{$x = .Tag}}{{$x}}",           # = reassignment (only := compiles)
+        "{{$x = .Tag}}{{$x}}",           # = assignment to an UNDECLARED var
         "{{$x.key}}",                    # $var field access
         '{{printf "%s" (printf "%s" .Tag)}}',  # nested parenthesized printf
         '{{printf "50%" .Tag}}',         # ADVICE r4: unpaired trailing %
@@ -1331,6 +1331,67 @@ def test_go_template_comparison_and_boolean_builtins(spark, event_df):
         '{{printf "%s" (eq .Tag "x")}}',      # %s-on-bool mangles in Go
         '{{printf "%d" (eq .Tag "x")}}',      # %d-on-bool
         "{{len 5}}",                          # len of an integer
+    ):
+        with pytest.raises(ValueError):
+            compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
+
+
+def test_go_template_reassignment_and_escapers(spark, event_df):
+    # late round-5: {{$x = ...}} mutates the DECLARING scope (Go semantics)
+    # via a phi-merge at each branch join; html/urlquery/printf %x compile
+    # to JVM-side replace/url_encode/hex chains
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    def render(tpl):
+        return [
+            r["t"]
+            for r in event_df.select(
+                compile_go_template(
+                    tpl, F.col("parsed"), F.col("tag"), F.col("event_time")
+                ).alias("t")
+            ).collect()
+        ]
+
+    # literal declarations now parse ({{$x := "init"}}, {{$n := 7}})
+    assert render('{{$x := "init"}}{{$x}}/{{$n := 7}}{{$n}}') == [
+        "init/7", "init/7",
+    ]
+    # branch assignment is visible AFTER {{end}} (Go declaring-scope mutation)
+    assert render(
+        '{{$x := "init"}}{{if eq .Tag "app-x"}}{{$x = "hit"}}{{end}}{{$x}}'
+    ) == ["hit", "init"]
+    # both branches assign
+    assert render(
+        "{{$x := .Tag}}"
+        "{{if .Data.a}}{{$x = .Data.a}}{{else}}{{$x = .Tag}}{{end}}{{$x}}"
+    ) == ["1", "app-y"]
+    # nested ifs propagate through BOTH joins
+    assert render(
+        '{{$x := "-"}}{{if .Data}}{{if .Data.b}}{{$x = .Data.b}}{{end}}{{end}}{{$x}}'
+    ) == ["2", "-"]
+    # the merged value feeds later CONDITIONS, not just output
+    assert render(
+        '{{$x := ""}}{{if .Data.a}}{{$x = "y"}}{{end}}'
+        "{{if $x}}set{{else}}unset{{end}}"
+    ) == ["set", "unset"]
+    # := in a branch stays scoped; = crosses the boundary
+    assert render(
+        '{{$x := "o"}}{{if .Data}}{{$x := "inner"}}{{$x}}{{end}}{{$x}}'
+    ) == ["innero", "o"]
+
+    # html: template.HTMLEscape's exact entity set, '&' escaped first
+    assert render("{{html \"<a&b>'\"}}") == ["&lt;a&amp;b&gt;&#39;"] * 2
+    # urlquery: Go QueryEscape — space->+, '*' escaped, '~' kept
+    assert render('{{urlquery "a b/c*~"}}') == ["a+b%2Fc%2A~"] * 2
+    assert render("{{.Tag | urlquery}}") == ["app-x", "app-y"]
+    # printf %x = lowercase hex of the string's bytes
+    assert render('{{printf "%x" .Tag}}') == ["6170702d78", "6170702d79"]
+
+    for tpl in (
+        '{{$x = "v"}}',  # assignment to an undeclared variable
+        '{{$x := ""}}{{range .Data}}{{$x = .}}{{end}}',  # loop-carried
+        '{{html .Tag .Tag}}',                            # arity
+        '{{printf "%x" (len .Data)}}',                   # %x of an int
     ):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
