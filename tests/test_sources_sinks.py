@@ -202,9 +202,9 @@ def test_yaml_unknown_types():
 
 
 def test_multimodal_features(spark):
-    media = mm.synth_media(spark, 60)
+    media = mm.synth_media(spark, 75)
     feats = mm.extract_features(media).collect()
-    assert len(feats) == 60
+    assert len(feats) == 75
     by_id = {r["media_id"]: r for r in feats}
     # real header decode: IHDR dims, fmt sample rate, avih frame timing
     assert by_id[0]["kind"] == "image" and by_id[0]["width"] == 1 and by_id[0]["height"] == 1
@@ -213,46 +213,57 @@ def test_multimodal_features(spark):
     assert by_id[1]["n_frames"] == 101 and by_id[1]["duration_ms"] == 101 * 1000 // 9000
     assert by_id[2]["kind"] == "video" and by_id[2]["n_frames"] == 32
     # i % 15 == 12 images carry CRC-valid non-baseline profiles cycling by
-    # i//15 % 4: 16-bit (12), paletted (27) and Adam7-interlaced (42) are
-    # all DECODED for real since round 5 — dims come out of the actual
-    # pixel decode; only the grayscale variant (57) stays flagged with
-    # zeroed features (the flagged-not-fatal path)
+    # i//15 % 5: 16-bit (12), paletted (27), Adam7-interlaced (42) and
+    # grayscale (57) are all DECODED for real — dims come out of the
+    # actual pixel decode; only the gray+alpha variant (72) stays flagged
+    # with zeroed features (the flagged-not-fatal path)
     flagged = {r["media_id"] for r in feats if not r["magic_ok"]}
-    assert flagged == {57}
-    assert by_id[57]["width"] == 0 and by_id[57]["height"] == 0
-    assert by_id[57]["n_bytes"] == len(mm.synth_png(57))  # byte stats still real
-    for i in (12, 27, 42):
+    assert flagged == {72}
+    assert by_id[72]["width"] == 0 and by_id[72]["height"] == 0
+    assert by_id[72]["n_bytes"] == len(mm.synth_png(72))  # byte stats still real
+    for i in (12, 27, 42, 57):
         assert by_id[i]["magic_ok"]
         assert (by_id[i]["width"], by_id[i]["height"]) == (1 + i % 8, 1 + (i * 7) % 8)
         assert by_id[i]["n_bytes"] == len(mm.synth_png(i))
     assert by_id[12]["n_bytes"] == 68 + 5 * (1 + 6 * 5)  # 16-bit: 6 bytes/px
     assert by_id[27]["n_bytes"] == 104 + 6 * (1 + 4)  # paletted
+    assert by_id[57]["n_bytes"] == 68 + 8 * (1 + 2)  # gray: 1 byte/px
+    assert by_id[72]["n_bytes"] == 68 + 1 * (1 + 2 * 1)  # gray+alpha: 2 B/px
     assert all(r["magic_ok"] for r in feats if r["media_id"] not in flagged)
 
 
 def test_multimodal_profile_decode_paths():
-    # non-baseline IHDR profiles cycle by i//15 % 4: 16-bit and interlaced
-    # pixel-decode FOR REAL since round 5 — the 16-bit high bytes and the
+    # non-baseline IHDR profiles cycle by i//15 % 5: 16-bit, interlaced
+    # and grayscale pixel-decode FOR REAL — the 16-bit high bytes and the
     # deinterlaced pixels both equal the baseline formula at original
-    # coordinates; grayscale is a CRC-valid container the header decode
-    # reads but the pixel path flags (never fatally)
+    # coordinates, gray expands to r=g=b of (i+2x+3y)%256; gray+alpha is
+    # a CRC-valid container the header decode reads but the pixel path
+    # flags (never fatally)
     profiles = {}
-    for i in (12, 42, 57, 72, 102):
+    for i in (12, 42, 57, 72, 87, 102):
         buf = mm.synth_png(i)
         d = mm.decode_png_header(buf)  # container walk + CRC pass
         profiles[i] = (d["depth"], d["ctype"], d["interlace"])
     assert profiles == {
         12: (16, 2, 0), 42: (8, 2, 1), 57: (8, 0, 0),
-        72: (16, 2, 0), 102: (8, 2, 1),
+        72: (8, 4, 0), 87: (16, 2, 0), 102: (8, 3, 0),
     }
-    for i in (12, 42, 72, 102):
+    for i in (12, 42, 87, 117):  # 16-bit / Adam7: baseline formula pixels
         w, h, pix = mm.decode_png_pixels(mm.synth_png(i))
         assert (w, h) == (1 + i % 8, 1 + (i * 7) % 8)
         for y in range(h):
             for x in range(w):
                 off = (y * w + x) * 3
                 assert tuple(pix[off : off + 3]) == mm._rgb_at(i, x, y), (i, x, y)
-    for i in (57, 12 + 15 * 7):  # grayscale variants stay loud
+    for i in (57, 132):  # grayscale decodes to r=g=b
+        w, h, pix = mm.decode_png_pixels(mm.synth_png(i))
+        assert (w, h) == (1 + i % 8, 1 + (i * 7) % 8)
+        for y in range(h):
+            for x in range(w):
+                off = (y * w + x) * 3
+                g = (i + 2 * x + 3 * y) % 256
+                assert tuple(pix[off : off + 3]) == (g, g, g), (i, x, y)
+    for i in (72, 147):  # gray+alpha variants stay loud
         try:
             mm.decode_png_pixels(mm.synth_png(i))
             raise AssertionError("unsupported profile must not pixel-decode")
@@ -295,7 +306,7 @@ def test_multimodal_paletted_decode_real():
 
     import pytest
 
-    for i in (27, 87):  # i % 15 == 12, (i//15) % 4 == 1
+    for i in (27, 102):  # i % 15 == 12, (i//15) % 5 == 1
         buf = mm.synth_png(i)
         d = mm.decode_png_header(buf)
         assert (d["depth"], d["ctype"], d["interlace"]) == (8, 3, 0)
@@ -733,18 +744,22 @@ def test_tcp_chunks_property_reassembly(spark):
 def test_multimodal_resize_real_pixels(spark):
     # REAL resize: output is a valid PNG whose pixels are the
     # nearest-neighbor resample of the (decoded) source pixels. 16-bit
-    # (12), paletted (27) and interlaced (42) sources all resize FOR REAL
-    # since round 5; only the unsupported grayscale variant (57) survives
-    # with NULL content — flagged, not fatal.
-    media = mm.synth_media(spark, 60)
+    # (12), paletted (27), interlaced (42) and grayscale (57) sources all
+    # resize FOR REAL; only the unsupported gray+alpha variant (72)
+    # survives with NULL content — flagged, not fatal.
+    media = mm.synth_media(spark, 75)
     out = mm.resize_images(media, width=8, height=4).collect()
-    assert len(out) == 20  # only the image rows
-    assert {r["media_id"] for r in out if r["content"] is None} == {57}
+    assert len(out) == 25  # only the image rows
+    assert {r["media_id"] for r in out if r["content"] is None} == {72}
 
     def expected_px(i, sx, sy):
-        if i % 15 == 12 and (i // 15) % 4 == 1:  # paletted source
+        pv = (i // 15) % 5 if i % 15 == 12 else None
+        if pv == 1:  # paletted source
             p = (i + sx * sy) % mm.PNG_PALETTE_N
             return ((i + p) % 256, (3 * i + 2 * p) % 256, (5 * i + 3 * p) % 256)
+        if pv == 3:  # grayscale source: r = g = b
+            g = (i + 2 * sx + 3 * sy) % 256
+            return (g, g, g)
         # baseline formula — also the 16-bit variant's high bytes and the
         # interlaced variant's deinterlaced pixels
         return ((i + sx) % 256, (3 * i + sy) % 256, (sx * sy + i) % 256)
