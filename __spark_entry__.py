@@ -1248,15 +1248,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IHDR dims, fmt sample rate + data size, avih frame timing). The oracle
     re-derives every field as pure arithmetic from media_id — any parsing
     bug hash-mismatches. Image rows with media_id % 15 == 12 carry
-    CRC-valid non-baseline containers cycling by i//15 % 5 (VERDICT r3
+    CRC-valid non-baseline containers cycling by i//15 % 7 (VERDICT r3
     item 7): since round 5 ALL of 16-bit (real big-endian samples,
     high-byte downconvert), paletted (inflate + filter + PLTE map),
-    Adam7-interlaced (per-pass unfilter + deinterlace scatter) and
-    grayscale (gray expands to r=g=b) rows are REAL payloads decoded
+    Adam7-interlaced (per-pass unfilter + deinterlace scatter),
+    grayscale (gray expands to r=g=b), gray+alpha and RGBA (alpha
+    samples stripped in the RGB view) rows are REAL payloads decoded
     end-to-end — any pixel-path bug flags the row and hash-mismatches;
-    the gray+alpha variant (pv=4) is a valid container OUTSIDE the
-    supported profile set, pinning the flagged-not-fatal path
-    (magic_ok = false, zeroed features) in the gated corpus."""
+    the bit-packed 4-bit grayscale variant (pv=6) is a valid container
+    OUTSIDE the supported profile set (sub-byte depths), pinning the
+    flagged-not-fatal path (magic_ok = false, zeroed features) in the
+    gated corpus."""
     n = _events(spark, sf_dir).count()
     media = mm.synth_media(spark, min(n, 2000))
     return mm.extract_features(media)
@@ -1267,12 +1269,13 @@ def _multimodal_oracle_sql() -> str:
     the kernel PARSES out of real bytes, re-derived as integer arithmetic
     from media_id (see mm.synth_png/synth_wav/synth_avi docstrings for the
     byte-level size derivations). Non-baseline PNGs (i % 15 = 12, cycling
-    by i//15 % 5) are all REAL payloads since round 5: 16-bit (pv=0,
+    by i//15 % 7) are all REAL payloads since round 5: 16-bit (pv=0,
     68 + h*(1+6w) bytes), paletted (pv=1, 104 + h*(1+w)), Adam7 interlaced
     (pv=2, 68 + per-pass scanline bytes — the seven-term sum below mirrors
-    the PNG spec's pass grid exactly) and grayscale (pv=3, 68 + h*(1+w))
-    are DECODED; gray+alpha (pv=4, 68 + h*(1+2w)) pins the
-    flagged-not-fatal path."""
+    the PNG spec's pass grid exactly), grayscale (pv=3, 68 + h*(1+w)),
+    gray+alpha (pv=4, 68 + h*(1+2w)) and RGBA (pv=5, 68 + h*(1+4w)) are
+    DECODED; bit-packed 4-bit grayscale (pv=6, 68 + h*(1+(w+1)//2)) pins
+    the flagged-not-fatal path."""
     ilace = " + ".join(
         f"(CASE WHEN ((h - {y0} + {dy - 1}) // {dy}) > 0"
         f" AND ((w - {x0} + {dx - 1}) // {dx}) > 0"
@@ -1285,7 +1288,7 @@ def _multimodal_oracle_sql() -> str:
             SELECT i AS media_id, CAST(i % 3 AS INT) AS k3, i,
                    1 + i % 8 AS w, 1 + (i*7) % 8 AS h,
                    CASE WHEN i % 3 = 0 AND i % 15 = 12
-                        THEN (i // 15) % 5 ELSE -1 END AS pv
+                        THEN (i // 15) % 7 ELSE -1 END AS pv
             FROM (SELECT unnest(generate_series(0,
                     CAST(LEAST((SELECT COUNT(*) FROM events), 2000) AS BIGINT) - 1)) AS i)
         )
@@ -1296,14 +1299,16 @@ def _multimodal_oracle_sql() -> str:
                          WHEN pv = 2 THEN 68 + {ilace}
                          WHEN pv = 3 THEN 68 + h * (1 + w)
                          WHEN pv = 4 THEN 68 + h * (1 + 2 * w)
+                         WHEN pv = 5 THEN 68 + h * (1 + 4 * w)
+                         WHEN pv = 6 THEN 68 + h * (1 + (w + 1) // 2)
                          WHEN k3 = 0 THEN 68 + h * (1 + 3 * w)
                          WHEN k3 = 1 THEN 44 + 2 * (100 + i % 400)
                          ELSE 96 + 2 * (i % 9) END AS BIGINT) AS n_bytes,
-               (pv <> 4) AS magic_ok,
-               CAST(CASE WHEN pv = 4 THEN 0
+               (pv <> 6) AS magic_ok,
+               CAST(CASE WHEN pv = 6 THEN 0
                          WHEN k3 = 0 THEN w WHEN k3 = 1 THEN 0
                          ELSE 16 + i % 64 END AS INT) AS width,
-               CAST(CASE WHEN pv = 4 THEN 0
+               CAST(CASE WHEN pv = 6 THEN 0
                          WHEN k3 = 0 THEN h WHEN k3 = 1 THEN 0
                          ELSE 9 + i % 64 END AS INT) AS height,
                CAST(CASE WHEN k3 = 1 THEN 8000 + (i % 8) * 1000 ELSE 0 END AS INT) AS sample_rate,

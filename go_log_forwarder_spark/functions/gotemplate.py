@@ -25,7 +25,9 @@ Catalyst (one projection, no Python in the hot path):
   BYTE length for strings — Go ``len`` counts bytes, so ``octet_length``
   not ``length``), ``{{index .Data "key"}}`` (same rendering as
   ``.Data.key``), and ``{{printf "fmt" args...}}`` with verbs ``%s``,
-  ``%v``, ``%d`` and ``%%``; args are fields, string literals, the dot, or
+  ``%v``, ``%d``, ``%t`` (boolean args only; Go %!t-mangles the rest),
+  ``%q`` (string args -> strconv.Quote via the ``go_quote`` escape chain)
+  and ``%%``; args are fields, string literals, the dot, or
   one nested ``(len ...)`` / ``(index ...)`` call; ``%d`` requires an
   integer-valued arg (``len``); compiled to ``format_string`` — still one
   Catalyst projection. Documented divergences: printf'ing a MISSING
@@ -76,7 +78,7 @@ Catalyst (one projection, no Python in the hot path):
   ``F.url_encode`` plus the two-byte Java↔Go delta ('*' and '~').
   ``printf %x`` (string form) compiles to ``lower(hex(col))``.
 
-Anything else (other functions — slice, call, printf %q/%f/%t —
+Anything else (other functions — slice, call, printf %f —
 ``$x.field`` access, range over non-``.Data``) raises ``ValueError`` at
 build time — loud beats silently-wrong output.
 """
@@ -115,6 +117,48 @@ def go_map_string(parsed: Column) -> Column:
     )
     body = F.array_join(entries, " ")
     return F.concat(F.lit("map["), F.coalesce(body, F.lit("")), F.lit("]"))
+
+
+def go_quote(col: Column) -> Column:
+    """``strconv.Quote`` of a string column (the ``printf %q`` verb): a
+    double-quoted Go literal. Per the Go source (strconv/quote.go
+    appendEscapedRune): ``\\`` and ``"`` get backslash escapes; the seven
+    short escapes ``\\a \\b \\f \\n \\r \\t \\v``; other runes < 0x20 and
+    DEL (0x7f) render ``\\x..``; runes Go's unicode.IsPrint rejects —
+    categories C and Z except the ASCII space (C1 controls, format chars,
+    private use, unassigned, non-ASCII spaces) — render ``\\u....`` (or
+    ``\\U00......`` above U+FFFF); everything printable passes through.
+    One projection: split-to-chars -> per-char CASE in a transform lambda
+    -> array_join. Divergence: Go escapes INVALID UTF-8 bytes as ``\\x..``,
+    but a Spark string column is already valid UTF-8, so the case cannot
+    arise here."""
+
+    def esc(ch: Column) -> Column:
+        cp = F.ascii(ch)  # full code point of the (single-char) string
+        hx = F.lower(F.hex(cp))
+        return (
+            # split('', '') yields [''] — render the empty element as-is
+            F.when(ch == "", ch)
+            .when(ch == "\\", F.lit("\\\\"))
+            .when(ch == '"', F.lit('\\"'))
+            .when(ch == "\a", F.lit("\\a"))
+            .when(ch == "\b", F.lit("\\b"))
+            .when(ch == "\f", F.lit("\\f"))
+            .when(ch == "\n", F.lit("\\n"))
+            .when(ch == "\r", F.lit("\\r"))
+            .when(ch == "\t", F.lit("\\t"))
+            .when(ch == "\v", F.lit("\\v"))
+            .when((cp < 0x20) | (cp == 0x7F), F.concat(F.lit("\\x"), F.lpad(hx, 2, "0")))
+            .when(
+                ch.rlike(r"[\p{C}\p{Z}]") & (ch != " "),
+                F.when(cp > 0xFFFF, F.concat(F.lit("\\U"), F.lpad(hx, 8, "0")))
+                .otherwise(F.concat(F.lit("\\u"), F.lpad(hx, 4, "0"))),
+            )
+            .otherwise(ch)
+        )
+
+    quoted = F.array_join(F.transform(F.split(col, ""), esc), "")
+    return F.concat(F.lit('"'), quoted, F.lit('"'))
 
 
 @dataclass
@@ -758,6 +802,16 @@ def compile_go_template(
             elif nxt == "d":
                 verbs.append(nxt)
                 jparts.append("%d")
+            elif nxt == "t":
+                # Go %t renders a bool as true/false (non-bool args are
+                # %!t-mangled — rejected below), stringified into a %s slot
+                verbs.append(nxt)
+                jparts.append("%s")
+            elif nxt == "q":
+                # Go %q of a string = strconv.Quote — computed as the
+                # go_quote() escape chain, so the format slot is plain %s
+                verbs.append(nxt)
+                jparts.append("%s")
             elif nxt == "x":
                 # Go %x of a string = lowercase hex of its bytes; computed
                 # as lower(hex(col)) so the format slot is a plain %s
@@ -766,7 +820,7 @@ def compile_go_template(
             else:
                 raise ValueError(
                     f"printf verb %{nxt} not in the compilable subset"
-                    f" (%s, %v, %d, %x, %%) in {template!r}"
+                    f" (%s, %v, %d, %t, %q, %x, %%) in {template!r}"
                 )
             i += 2
         args = [eval_arg(a, dot, env) for a in n.args[1:]]
@@ -786,6 +840,21 @@ def compile_go_template(
                 raise ValueError(
                     f"printf %s of a boolean is mangled in Go; use %v in {template!r}"
                 )
+            if v == "t":
+                if kind != "bool":
+                    # Go %t of a non-bool is %!t-mangled — loud
+                    raise ValueError(
+                        f"printf %t needs a boolean arg in {template!r}"
+                    )
+                col = _to_str(col, kind)
+            if v == "q":
+                if kind != "str":
+                    # Go %q of an int renders a quoted RUNE ('a') — out of
+                    # the compilable subset; restrict to the string form
+                    raise ValueError(
+                        f"printf %q needs a string arg in {template!r}"
+                    )
+                col = go_quote(col)
             if v == "x":
                 if kind != "str":
                     # Go %x of a NEGATIVE int is "-f"-style while hex() is

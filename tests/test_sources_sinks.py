@@ -202,9 +202,9 @@ def test_yaml_unknown_types():
 
 
 def test_multimodal_features(spark):
-    media = mm.synth_media(spark, 75)
+    media = mm.synth_media(spark, 110)
     feats = mm.extract_features(media).collect()
-    assert len(feats) == 75
+    assert len(feats) == 110
     by_id = {r["media_id"]: r for r in feats}
     # real header decode: IHDR dims, fmt sample rate, avih frame timing
     assert by_id[0]["kind"] == "image" and by_id[0]["width"] == 1 and by_id[0]["height"] == 1
@@ -213,15 +213,16 @@ def test_multimodal_features(spark):
     assert by_id[1]["n_frames"] == 101 and by_id[1]["duration_ms"] == 101 * 1000 // 9000
     assert by_id[2]["kind"] == "video" and by_id[2]["n_frames"] == 32
     # i % 15 == 12 images carry CRC-valid non-baseline profiles cycling by
-    # i//15 % 5: 16-bit (12), paletted (27), Adam7-interlaced (42) and
-    # grayscale (57) are all DECODED for real — dims come out of the
-    # actual pixel decode; only the gray+alpha variant (72) stays flagged
-    # with zeroed features (the flagged-not-fatal path)
+    # i//15 % 7: 16-bit (12), paletted (27), Adam7-interlaced (42),
+    # grayscale (57), gray+alpha (72) and RGBA (87) are all DECODED for
+    # real — dims come out of the actual pixel decode; only the bit-packed
+    # 4-bit grayscale variant (102) stays flagged with zeroed features
+    # (the flagged-not-fatal path)
     flagged = {r["media_id"] for r in feats if not r["magic_ok"]}
-    assert flagged == {72}
-    assert by_id[72]["width"] == 0 and by_id[72]["height"] == 0
-    assert by_id[72]["n_bytes"] == len(mm.synth_png(72))  # byte stats still real
-    for i in (12, 27, 42, 57):
+    assert flagged == {102}
+    assert by_id[102]["width"] == 0 and by_id[102]["height"] == 0
+    assert by_id[102]["n_bytes"] == len(mm.synth_png(102))  # byte stats still real
+    for i in (12, 27, 42, 57, 72, 87):
         assert by_id[i]["magic_ok"]
         assert (by_id[i]["width"], by_id[i]["height"]) == (1 + i % 8, 1 + (i * 7) % 8)
         assert by_id[i]["n_bytes"] == len(mm.synth_png(i))
@@ -229,16 +230,19 @@ def test_multimodal_features(spark):
     assert by_id[27]["n_bytes"] == 104 + 6 * (1 + 4)  # paletted
     assert by_id[57]["n_bytes"] == 68 + 8 * (1 + 2)  # gray: 1 byte/px
     assert by_id[72]["n_bytes"] == 68 + 1 * (1 + 2 * 1)  # gray+alpha: 2 B/px
+    assert by_id[87]["n_bytes"] == 68 + 2 * (1 + 4 * 8)  # RGBA: 4 bytes/px
+    assert by_id[102]["n_bytes"] == 68 + 3 * (1 + (7 + 1) // 2)  # 4-bit packed
     assert all(r["magic_ok"] for r in feats if r["media_id"] not in flagged)
 
 
 def test_multimodal_profile_decode_paths():
-    # non-baseline IHDR profiles cycle by i//15 % 5: 16-bit, interlaced
-    # and grayscale pixel-decode FOR REAL — the 16-bit high bytes and the
-    # deinterlaced pixels both equal the baseline formula at original
-    # coordinates, gray expands to r=g=b of (i+2x+3y)%256; gray+alpha is
-    # a CRC-valid container the header decode reads but the pixel path
-    # flags (never fatally)
+    # non-baseline IHDR profiles cycle by i//15 % 7: 16-bit, interlaced,
+    # grayscale, gray+alpha and RGBA pixel-decode FOR REAL — the 16-bit
+    # high bytes, the deinterlaced pixels and the alpha-stripped RGBA all
+    # equal the baseline formula at original coordinates, gray (with or
+    # without alpha) expands to r=g=b of (i+2x+3y)%256; bit-packed 4-bit
+    # gray is a CRC-valid container the header decode reads but the pixel
+    # path flags (never fatally)
     profiles = {}
     for i in (12, 42, 57, 72, 87, 102):
         buf = mm.synth_png(i)
@@ -246,16 +250,16 @@ def test_multimodal_profile_decode_paths():
         profiles[i] = (d["depth"], d["ctype"], d["interlace"])
     assert profiles == {
         12: (16, 2, 0), 42: (8, 2, 1), 57: (8, 0, 0),
-        72: (8, 4, 0), 87: (16, 2, 0), 102: (8, 3, 0),
+        72: (8, 4, 0), 87: (8, 6, 0), 102: (4, 0, 0),
     }
-    for i in (12, 42, 87, 117):  # 16-bit / Adam7: baseline formula pixels
+    for i in (12, 42, 87, 117):  # 16-bit / Adam7 / RGBA: baseline pixels
         w, h, pix = mm.decode_png_pixels(mm.synth_png(i))
         assert (w, h) == (1 + i % 8, 1 + (i * 7) % 8)
         for y in range(h):
             for x in range(w):
                 off = (y * w + x) * 3
                 assert tuple(pix[off : off + 3]) == mm._rgb_at(i, x, y), (i, x, y)
-    for i in (57, 132):  # grayscale decodes to r=g=b
+    for i in (57, 162, 72, 177):  # gray / gray+alpha decode to r=g=b
         w, h, pix = mm.decode_png_pixels(mm.synth_png(i))
         assert (w, h) == (1 + i % 8, 1 + (i * 7) % 8)
         for y in range(h):
@@ -263,7 +267,7 @@ def test_multimodal_profile_decode_paths():
                 off = (y * w + x) * 3
                 g = (i + 2 * x + 3 * y) % 256
                 assert tuple(pix[off : off + 3]) == (g, g, g), (i, x, y)
-    for i in (72, 147):  # gray+alpha variants stay loud
+    for i in (102, 207):  # bit-packed 4-bit gray variants stay loud
         try:
             mm.decode_png_pixels(mm.synth_png(i))
             raise AssertionError("unsupported profile must not pixel-decode")
@@ -306,7 +310,7 @@ def test_multimodal_paletted_decode_real():
 
     import pytest
 
-    for i in (27, 102):  # i % 15 == 12, (i//15) % 5 == 1
+    for i in (27, 132):  # i % 15 == 12, (i//15) % 7 == 1
         buf = mm.synth_png(i)
         d = mm.decode_png_header(buf)
         assert (d["depth"], d["ctype"], d["interlace"]) == (8, 3, 0)
@@ -744,24 +748,26 @@ def test_tcp_chunks_property_reassembly(spark):
 def test_multimodal_resize_real_pixels(spark):
     # REAL resize: output is a valid PNG whose pixels are the
     # nearest-neighbor resample of the (decoded) source pixels. 16-bit
-    # (12), paletted (27), interlaced (42) and grayscale (57) sources all
-    # resize FOR REAL; only the unsupported gray+alpha variant (72)
-    # survives with NULL content — flagged, not fatal.
-    media = mm.synth_media(spark, 75)
+    # (12), paletted (27), interlaced (42), grayscale (57), gray+alpha
+    # (72) and RGBA (87) sources all resize FOR REAL; only the
+    # unsupported bit-packed 4-bit gray variant (102) survives with NULL
+    # content — flagged, not fatal.
+    media = mm.synth_media(spark, 110)
     out = mm.resize_images(media, width=8, height=4).collect()
-    assert len(out) == 25  # only the image rows
-    assert {r["media_id"] for r in out if r["content"] is None} == {72}
+    assert len(out) == 37  # only the image rows
+    assert {r["media_id"] for r in out if r["content"] is None} == {102}
 
     def expected_px(i, sx, sy):
-        pv = (i // 15) % 5 if i % 15 == 12 else None
+        pv = (i // 15) % 7 if i % 15 == 12 else None
         if pv == 1:  # paletted source
             p = (i + sx * sy) % mm.PNG_PALETTE_N
             return ((i + p) % 256, (3 * i + 2 * p) % 256, (5 * i + 3 * p) % 256)
-        if pv == 3:  # grayscale source: r = g = b
+        if pv in (3, 4):  # gray / gray+alpha source: r = g = b
             g = (i + 2 * sx + 3 * sy) % 256
             return (g, g, g)
-        # baseline formula — also the 16-bit variant's high bytes and the
-        # interlaced variant's deinterlaced pixels
+        # baseline formula — also the 16-bit variant's high bytes, the
+        # interlaced variant's deinterlaced pixels and the RGBA variant's
+        # alpha-stripped pixels
         return ((i + sx) % 256, (3 * i + sy) % 256, (sx * sy + i) % 256)
 
     for r in out:
@@ -1201,7 +1207,7 @@ def test_go_template_builtin_calls(spark, event_df):
 
     # loud on everything outside the subset
     for tpl in (
-        '{{printf "%q" .Tag}}',          # verb outside subset
+        '{{printf "%f" .Tag}}',          # verb outside subset
         '{{printf "%d" .Tag}}',          # %d needs an int-valued arg
         '{{printf "%s %s" .Tag}}',       # verb/arg count mismatch
         "{{len .Timestamp}}",            # not a Go len operand
@@ -1338,6 +1344,13 @@ def test_go_template_comparison_and_boolean_builtins(spark, event_df):
     assert render('{{printf "big=%v" (gt (len .Data) 1)}}') == [
         "big=true", "big=false",
     ]
+    # %t: Go's boolean verb (bool args only)
+    assert render('{{printf "is=%t" (eq .Tag "app-x")}}') == [
+        "is=true", "is=false",
+    ]
+    assert render('{{printf "%t/%d" (not .Data.a) (len .Data)}}') == [
+        "false/2", "true/0",
+    ]
 
     for tpl in (
         '{{if eq (len .Data) "2"}}x{{end}}',  # mixed-kind comparison
@@ -1345,8 +1358,57 @@ def test_go_template_comparison_and_boolean_builtins(spark, event_df):
         '{{not .Tag .Tag}}',                  # arity
         '{{printf "%s" (eq .Tag "x")}}',      # %s-on-bool mangles in Go
         '{{printf "%d" (eq .Tag "x")}}',      # %d-on-bool
+        '{{printf "%t" .Tag}}',               # %t-on-string mangles in Go
+        '{{printf "%t" (len .Data)}}',        # %t-on-int
         "{{len 5}}",                          # len of an integer
     ):
+        with pytest.raises(ValueError):
+            compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
+
+
+def test_go_template_printf_q_strconv_quote(spark):
+    # printf %q = strconv.Quote: short escapes, \x.. for C0/DEL, \u/\U for
+    # Go-unprintable runes (categories C and Z except ASCII space),
+    # printable unicode (incl. astral emoji) passes through
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    cases = [
+        ("plain", '"plain"'),
+        ('a"b\\c', '"a\\"b\\\\c"'),
+        ("nl\ntab\tcr\r", '"nl\\ntab\\tcr\\r"'),
+        ("\a\b\f\v", '"\\a\\b\\f\\v"'),
+        ("\x01 \x7f", '"\\x01 \\x7f"'),
+        ("café 汉", '"café 汉"'),
+        ("nb\u00a0sp", '"nb\\u00a0sp"'),
+        ("zw\u200bj", '"zw\\u200bj"'),
+        ("c1\u0085x", '"c1\\u0085x"'),
+        ("emoji 😀", '"emoji 😀"'),
+        ("t\U000e0001e", '"t\\U000e0001e"'),
+        ("", '""'),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, tag string")
+    out = df.select(
+        "i",
+        compile_go_template(
+            '{{printf "%q" .Tag}}', F.create_map().cast("map<string,string>"),
+            F.col("tag"), F.lit(None).cast("timestamp")
+        ).alias("t"),
+    ).collect()
+    got = {r["i"]: r["t"] for r in out}
+    for i, (_, exp) in enumerate(cases):
+        assert got[i] == exp, (i, cases[i][0], got[i], exp)
+
+    # %q composes with other verbs; non-string args stay loud
+    df2 = spark.createDataFrame([("x y",)], "tag string")
+    r = df2.select(
+        compile_go_template(
+            '{{printf "tag=%q n=%d" .Tag (len .Tag)}}',
+            F.create_map().cast("map<string,string>"),
+            F.col("tag"), F.lit(None).cast("timestamp"),
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert r == 'tag="x y" n=3'
+    for tpl in ('{{printf "%q" (len .Tag)}}', '{{printf "%q" (eq .Tag "x")}}'):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
 
