@@ -1413,6 +1413,44 @@ def test_go_template_printf_q_strconv_quote(spark):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
 
 
+def test_go_quote_roundtrip_property(spark):
+    # strconv.Quote's escape forms (\\ \" \a \b \f \n \r \t \v \xNN \uNNNN
+    # \U00NNNNNN) are all valid Python string-literal escapes, so every
+    # quoted output must literal_eval back to the original — a
+    # Unicode-version-independent self-consistency property over a seeded
+    # random corpus (ASCII, controls, BMP letters/punct/format chars,
+    # astral emoji/tags), all checked in ONE Spark job
+    import ast
+    import random
+
+    from go_log_forwarder_spark.functions.gotemplate import go_quote
+
+    rng = random.Random(42)
+    pools = [
+        [chr(c) for c in range(0x20, 0x7F)],                   # ASCII
+        [chr(c) for c in range(0x00, 0x20)] + ["\x7f"],        # C0 + DEL
+        ['"', "\\", "\n", "\t"],
+        [chr(c) for c in range(0xA0, 0x300)],                  # Latin-1+/comb
+        ["\u0085", "\u00a0", "\u200b", "\u200e", "\u2028", "\u2029", "\ufeff"],
+        ["😀", "🚀", "汉", "字", "\U000e0001", "\U0001d11e"],
+    ]
+    cases = [""]
+    for _ in range(300):
+        n = rng.randrange(0, 12)
+        cases.append(
+            "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    rows = df.select("i", go_quote(F.col("s")).alias("q")).collect()
+    got = {r["i"]: r["q"] for r in rows}
+    for i, s in enumerate(cases):
+        q = got[i]
+        assert q.startswith('"') and q.endswith('"'), (i, q)
+        assert ast.literal_eval(q) == s, (i, s, q)
+
+
 def test_go_template_reassignment_and_escapers(spark, event_df):
     # late round-5: {{$x = ...}} mutates the DECLARING scope (Go semantics)
     # via a phi-merge at each branch join; html/urlquery/printf %x compile
