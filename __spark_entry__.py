@@ -1245,7 +1245,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode — REAL, codec-free (VERDICT r2 item 2): payloads
     are spec-valid PNG / PCM WAV / AVI containers; the mapInPandas kernel
     walks chunks, verifies PNG CRC32s, and reads the actual header fields
-    (IHDR dims, fmt sample rate + data size, avih frame timing). The oracle
+    (IHDR dims, fmt sample rate + data size, avih frame timing) plus
+    SIGNAL-level audio features from the real PCM bytes (pcm_energy = sum
+    of squared 16-bit samples, pcm_peak = max |sample| — both
+    integer-exact, late round 5). The oracle
     re-derives every field as pure arithmetic from media_id — any parsing
     bug hash-mismatches. Image rows with media_id % 15 == 12 carry
     CRC-valid non-baseline containers cycling by i//15 % 7 (VERDICT r3
@@ -1275,7 +1278,10 @@ def _multimodal_oracle_sql() -> str:
     the PNG spec's pass grid exactly), grayscale (pv=3, 68 + h*(1+w)),
     gray+alpha (pv=4, 68 + h*(1+2w)) and RGBA (pv=5, 68 + h*(1+4w)) are
     DECODED; bit-packed 4-bit grayscale (pv=6, 68 + h*(1+(w+1)//2)) pins
-    the flagged-not-fatal path."""
+    the flagged-not-fatal path. Audio signal features re-derive the PCM
+    sample formula s_j = (31i+7j) mod 65536 - 32768 as a DuckDB list
+    comprehension (correlated generate_series table functions are not
+    supported; the scalar-list form is)."""
     ilace = " + ".join(
         f"(CASE WHEN ((h - {y0} + {dy - 1}) // {dy}) > 0"
         f" AND ((w - {x0} + {dx - 1}) // {dx}) > 0"
@@ -1317,7 +1323,16 @@ def _multimodal_oracle_sql() -> str:
                CAST(CASE WHEN k3 = 0 THEN 0
                          WHEN k3 = 1 THEN ((100 + i % 400) * 1000) // (8000 + (i % 8) * 1000)
                          ELSE ((30 + i % 300) * (1000000 // (10 + i % 20))) // 1000
-                    END AS INT) AS duration_ms
+                    END AS INT) AS duration_ms,
+               CAST(CASE WHEN k3 = 1 THEN list_sum(
+                        [CAST((31*i + 7*j) % 65536 - 32768 AS BIGINT)
+                         * ((31*i + 7*j) % 65536 - 32768)
+                         FOR j IN generate_series(0, (100 + i % 400) - 1)])
+                    ELSE 0 END AS BIGINT) AS pcm_energy,
+               CAST(CASE WHEN k3 = 1 THEN list_max(
+                        [ABS((31*i + 7*j) % 65536 - 32768)
+                         FOR j IN generate_series(0, (100 + i % 400) - 1)])
+                    ELSE 0 END AS INT) AS pcm_peak
         FROM media
     """
 

@@ -22,6 +22,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,7 +38,8 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, magic_ok boolean, "
-    "width int, height int, sample_rate int, n_frames int, duration_ms int"
+    "width int, height int, sample_rate int, n_frames int, duration_ms int, "
+    "pcm_energy long, pcm_peak int"
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -482,22 +484,39 @@ def _riff_chunks(body: bytes):
 
 def decode_wav(buf: bytes) -> dict:
     """Real WAV decode: RIFF/WAVE container walk, fmt (sample rate, bits,
-    channels) + data chunk size -> sample count and integer duration."""
+    channels) + data chunk size -> sample count and integer duration, plus
+    SIGNAL-level features computed from the actual PCM samples (16-bit
+    integer PCM): pcm_energy = sum of squared samples (BIGINT-exact) and
+    pcm_peak = max absolute sample. Other bit widths keep the header
+    fields real and report zeroed signal features."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     sr = bits = ch = None
     n_data = None
+    pcm = b""
     for cid, data in _riff_chunks(buf[12 : 8 + struct.unpack("<I", buf[4:8])[0]]):
         if cid == b"fmt ":
-            _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+            fmt_tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
         elif cid == b"data":
             n_data = len(data)
+            pcm = data
     if sr is None or n_data is None:
         raise ValueError("missing fmt /data chunk")
     if not sr or not ch or not bits or bits % 8:
         raise ValueError(f"bad fmt: sr={sr} ch={ch} bits={bits}")
     ns = n_data // (ch * bits // 8)
-    return {"sample_rate": sr, "n_frames": ns, "duration_ms": ns * 1000 // sr}
+    energy = peak = 0
+    if fmt_tag == 1 and bits == 16 and n_data >= 2:
+        arr = np.frombuffer(pcm[: n_data - (n_data % 2)], dtype="<i2").astype(np.int64)
+        energy = int((arr * arr).sum())
+        peak = int(np.abs(arr).max())
+    return {
+        "sample_rate": sr,
+        "n_frames": ns,
+        "duration_ms": ns * 1000 // sr,
+        "pcm_energy": energy,
+        "pcm_peak": peak,
+    }
 
 
 def decode_avi(buf: bytes) -> dict:
@@ -531,7 +550,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             rows = []
             for media_id, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 buf = bytes(content) if content is not None else b""
-                w = h = sr = nf = dur = 0
+                w = h = sr = nf = dur = energy = peak = 0
                 ok = True
                 try:
                     if kind == "image":
@@ -559,6 +578,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     elif kind == "audio":
                         d = decode_wav(buf)
                         sr, nf, dur = d["sample_rate"], d["n_frames"], d["duration_ms"]
+                        energy, peak = d["pcm_energy"], d["pcm_peak"]
                     elif kind == "video":
                         d = decode_avi(buf)
                         w, h, nf, dur = d["width"], d["height"], d["n_frames"], d["duration_ms"]
@@ -570,13 +590,16 @@ def extract_features(df: DataFrame) -> DataFrame:
                     # can still trip arithmetic/indexing — corrupt-input
                     # tolerance means no exception class fails the batch
                     ok = False
-                    w = h = sr = nf = dur = 0
-                rows.append((media_id, kind, len(buf), ok, w, h, sr, nf, dur))
+                    w = h = sr = nf = dur = energy = peak = 0
+                rows.append(
+                    (media_id, kind, len(buf), ok, w, h, sr, nf, dur, energy, peak)
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "kind", "n_bytes", "magic_ok",
                     "width", "height", "sample_rate", "n_frames", "duration_ms",
+                    "pcm_energy", "pcm_peak",
                 ],
             )
 

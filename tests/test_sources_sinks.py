@@ -212,6 +212,12 @@ def test_multimodal_features(spark):
     assert by_id[1]["kind"] == "audio" and by_id[1]["sample_rate"] == 9000
     assert by_id[1]["n_frames"] == 101 and by_id[1]["duration_ms"] == 101 * 1000 // 9000
     assert by_id[2]["kind"] == "video" and by_id[2]["n_frames"] == 32
+    # signal-level PCM features come from the REAL data-chunk bytes and
+    # must equal the synth formula s_j = (31i+7j) % 65536 - 32768
+    samples = [(31 * 1 + 7 * j) % 65536 - 32768 for j in range(101)]
+    assert by_id[1]["pcm_energy"] == sum(s * s for s in samples)
+    assert by_id[1]["pcm_peak"] == max(abs(s) for s in samples)
+    assert by_id[0]["pcm_energy"] == 0 and by_id[2]["pcm_peak"] == 0
     # i % 15 == 12 images carry CRC-valid non-baseline profiles cycling by
     # i//15 % 7: 16-bit (12), paletted (27), Adam7-interlaced (42),
     # grayscale (57), gray+alpha (72) and RGBA (87) are all DECODED for
