@@ -1309,7 +1309,8 @@ def _multimodal_oracle_sql() -> str:
                          WHEN pv = 6 THEN 68 + h * (1 + (w + 1) // 2)
                          WHEN k3 = 0 THEN 68 + h * (1 + 3 * w)
                          WHEN k3 = 1 THEN 44 + 2 * (100 + i % 400)
-                         ELSE 96 + 2 * (i % 9) END AS BIGINT) AS n_bytes,
+                         ELSE 96 + 2 * (i % 9) + 12 + 12 * (30 + i % 300)
+                    END AS BIGINT) AS n_bytes,
                (pv <> 6) AS magic_ok,
                CAST(CASE WHEN pv = 6 THEN 0
                          WHEN k3 = 0 THEN w WHEN k3 = 1 THEN 0
@@ -1339,25 +1340,40 @@ def _multimodal_oracle_sql() -> str:
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one row per sampled frame offset, derived from
-    the REAL avih-decoded duration (frames * us_per_frame // 1000)."""
+    the REAL avih-decoded duration (frames * us_per_frame // 1000) and
+    carrying the REAL payload byte-sum of the movi '00dc' chunk the offset
+    lands in (late round 5) — any frame-walk bug hash-mismatches."""
     n = _events(spark, sf_dir).count()
     media = mm.synth_media(spark, min(n, 2000))
     return mm.frame_sample(media, every_ms=100)
 
 
 def _multimodal_frames_oracle_sql() -> str:
-    # video rows: media_id % 3 == 2; duration = nf * (10^6 // fps) // 1000
+    # video rows: media_id % 3 == 2; duration = nf * (10^6 // fps) // 1000;
+    # frame k = (offset_ms * 1000) // us_per_frame; its payload bytes are
+    # ((i+3k)%256, (5i+k)%256, (i*k)%256, (7i+2k)%256) — see mm.synth_avi
     return """
         WITH media AS (
-            SELECT i AS media_id,
+            SELECT i AS media_id, i,
+                   1000000 // (10 + i % 20) AS upf,
                    ((30 + i % 300) * (1000000 // (10 + i % 20))) // 1000 AS duration_ms
             FROM (SELECT unnest(generate_series(0,
                     CAST(LEAST((SELECT COUNT(*) FROM events), 2000) AS BIGINT) - 1)) AS i)
             WHERE i % 3 = 2
         )
         SELECT media_id,
-               CAST(unnest(generate_series(0, GREATEST(duration_ms - 1, 0), 100)) AS INT) AS frame_offset_ms
-        FROM media
+               CAST(off AS INT) AS frame_offset_ms,
+               CAST(k AS INT) AS frame_idx,
+               CAST(((i + 3*k) % 256) + ((5*i + k) % 256)
+                    + ((i*k) % 256) + ((7*i + 2*k) % 256) AS INT) AS frame_sum
+        FROM (
+            SELECT media_id, i, off, (off * 1000) // upf AS k
+            FROM (
+                SELECT media_id, i, upf,
+                       unnest(generate_series(0, GREATEST(duration_ms - 1, 0), 100)) AS off
+                FROM media
+            ) u
+        ) v
     """
 
 

@@ -247,8 +247,11 @@ def synth_wav(i: int) -> bytes:
 
 def synth_avi(i: int) -> bytes:
     """AVI main header: fps = 10+i%20 (us_per_frame = 10^6//fps), frames =
-    30+i%300, dims (16+i%64, 9+i%64), plus a JUNK chunk of 2*(i%9) bytes.
-    n_bytes = 96 + 2*(i%9)."""
+    30+i%300, dims (16+i%64, 9+i%64), plus a JUNK chunk of 2*(i%9) bytes,
+    plus (late round 5) a REAL movi LIST with one '00dc' chunk per frame —
+    frame k carries the 4 deterministic payload bytes
+    ((i+3k)%256, (5i+k)%256, (i*k)%256, (7i+2k)%256).
+    n_bytes = 96 + 2*(i%9) + 12 + 12*nf."""
     fps = 10 + i % 20
     upf = 1_000_000 // fps
     nf = 30 + i % 300
@@ -256,6 +259,14 @@ def synth_avi(i: int) -> bytes:
     avih = struct.pack("<14I", upf, 0, 0, 0, nf, 0, 1, 0, w, h, 0, 0, 0, 0)
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
     junk = bytes((i + j) % 256 for j in range(2 * (i % 9)))
+    movi = b"movi" + b"".join(
+        b"00dc"
+        + struct.pack("<I", 4)
+        + bytes(
+            v % 256 for v in (i + 3 * k, 5 * i + k, i * k, 7 * i + 2 * k)
+        )
+        for k in range(nf)
+    )
     body = (
         b"AVI "
         + b"LIST"
@@ -264,6 +275,9 @@ def synth_avi(i: int) -> bytes:
         + b"JUNK"
         + struct.pack("<I", len(junk))
         + junk
+        + b"LIST"
+        + struct.pack("<I", len(movi))
+        + movi
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -648,13 +662,79 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     ).mapInPandas(kernel, "media_id long, kind string, content binary, width int, height int")
 
 
+def decode_avi_frames(buf: bytes) -> dict:
+    """Real AVI frame access: avih timing + the movi LIST's per-frame
+    '00dc' chunks. Returns duration_ms, us_per_frame and the byte-sum of
+    each frame's actual payload (the cheap codec-free per-frame feature);
+    an avih frame count that disagrees with the movi chunk count is
+    loud."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    upf = nf = None
+    sums: list[int] = []
+    for cid, data in _riff_chunks(buf[12 : 8 + struct.unpack("<I", buf[4:8])[0]]):
+        if cid == b"LIST" and data[:4] == b"hdrl":
+            for sub, sdata in _riff_chunks(data[4:]):
+                if sub == b"avih":
+                    vals = struct.unpack("<14I", sdata[:56])
+                    upf, nf = vals[0], vals[4]
+        elif cid == b"LIST" and data[:4] == b"movi":
+            for sub, sdata in _riff_chunks(data[4:]):
+                if sub == b"00dc":
+                    sums.append(sum(sdata))
+    if upf is None:
+        raise ValueError("no avih header")
+    if nf != len(sums):
+        raise ValueError(f"avih frame count {nf} != movi chunks {len(sums)}")
+    return {
+        "us_per_frame": upf,
+        "duration_ms": nf * upf // 1000,
+        "frame_sums": sums,
+    }
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one row per sampled frame offset, derived from
-    the REAL avih-decoded duration; the explode is pure Catalyst."""
-    feats = extract_features(df.filter(F.col("kind") == "video"))
+    """Video frame sampling: one row per sampled frame offset, derived
+    from the REAL avih-decoded duration, carrying the REAL payload
+    byte-sum of the frame the offset lands in (movi '00dc' chunks,
+    decoded once per row by an Arrow kernel into an array column; the
+    time-grid explode and the frame lookup stay pure Catalyst —
+    element_at on the array, no second decode, no join)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_avi_frames(bytes(content))
+                out.append(
+                    (media_id, d["us_per_frame"], d["duration_ms"], d["frame_sums"])
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "us_per_frame", "duration_ms", "frame_sums"],
+            )
+
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(
+        kernel,
+        "media_id long, us_per_frame int, duration_ms int, frame_sums array<int>",
+    )
     offsets = F.sequence(
         F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
     )
-    return feats.select(
-        "media_id", F.explode(offsets).alias("frame_offset_ms")
+    exploded = frames.select(
+        "media_id",
+        "us_per_frame",
+        "frame_sums",
+        F.explode(offsets).alias("frame_offset_ms"),
+    )
+    idx = F.expr(
+        "CAST((CAST(frame_offset_ms AS BIGINT) * 1000) DIV us_per_frame AS INT)"
+    )
+    return exploded.select(
+        "media_id",
+        "frame_offset_ms",
+        idx.alias("frame_idx"),
+        F.try_element_at(F.col("frame_sums"), idx + F.lit(1)).alias("frame_sum"),
     )

@@ -465,6 +465,16 @@ def test_multimodal_frame_sample(spark):
     for offs in per_media.values():
         assert offs == sorted(offs)
         assert all(o % 100 == 0 for o in offs)
+    # each sampled offset carries the REAL movi payload byte-sum of the
+    # frame it lands in: frame k of video i is (i+3k, 5i+k, i*k, 7i+2k)%256
+    for r in frames:
+        i, k = r["media_id"], r["frame_idx"]
+        upf = 1_000_000 // (10 + i % 20)
+        assert k == r["frame_offset_ms"] * 1000 // upf
+        assert r["frame_sum"] == (
+            (i + 3 * k) % 256 + (5 * i + k) % 256
+            + (i * k) % 256 + (7 * i + 2 * k) % 256
+        ), (i, k)
 
 
 def test_multimodal_column_pruning(spark):
