@@ -285,3 +285,19 @@ def test_split_seed_debroadcast_plan(spark):
     # shuffle join for the same relation)
     assert p_dflt.count("BroadcastExchange") > p_forced.count("BroadcastExchange")
     assert ("SortMergeJoin" in p_forced) or ("ShuffledHashJoin" in p_forced)
+
+
+def test_frame_sample_zero_shuffle_plan(spark):
+    """Per-frame video access must stay a single-pass plan: ONE Arrow
+    kernel decodes each video's movi chunks into an array column, then
+    the time-grid explode and the element_at frame lookup run inside
+    whole-stage codegen — no Exchange, no join, no second decode."""
+    from go_log_forwarder_spark.functions import multimodal as mm
+
+    df = mm.frame_sample(mm.synth_media(spark, 45), every_ms=100)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # exactly two kernels: synth_media's builder + the frame decoder
+    assert plan.count("MapInPandas") == 2
+    assert "Generate explode" in plan and "element_at" in plan
