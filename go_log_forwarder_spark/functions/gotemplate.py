@@ -28,7 +28,8 @@ Catalyst (one projection, no Python in the hot path):
   ``%v``, ``%d``, ``%t`` (boolean args only; Go %!t-mangles the rest),
   ``%q`` (string args -> strconv.Quote via the ``go_quote`` escape chain)
   and ``%%``; args are fields, string literals, the dot, or
-  one nested ``(len ...)`` / ``(index ...)`` call; ``%d`` requires an
+  parenthesized sub-calls nested to any depth (``len``/``index``/the
+  comparison builtins/``printf`` itself); ``%d`` requires an
   integer-valued arg (``len``); compiled to ``format_string`` — still one
   Catalyst projection. Documented divergences: printf'ing a MISSING
   ``.Data.key`` renders ``<no value>`` (like the bare field action) where
@@ -404,8 +405,6 @@ def _parse_call(expr: str, template: str, piped: _Node | None = None) -> _Call:
                 raise ValueError(
                     f"parenthesized argument must be a call in {template!r}"
                 )
-            if sub.fn == "printf":
-                raise ValueError(f"nested printf not supported in {template!r}")
             args.append(sub)
             continue
         m = _CALL_TOKEN.match(rest, pos)

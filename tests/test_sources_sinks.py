@@ -1233,7 +1233,6 @@ def test_go_template_builtin_calls(spark, event_df):
         '{{$x | printf "%s"}}',          # UNDECLARED $variable
         "{{$x = .Tag}}{{$x}}",           # = assignment to an UNDECLARED var
         "{{$x.key}}",                    # $var field access
-        '{{printf "%s" (printf "%s" .Tag)}}',  # nested parenthesized printf
         '{{printf "50%" .Tag}}',         # ADVICE r4: unpaired trailing %
         '{{printf "50%"}}',              # build-time, not execute-time
     ):
@@ -1416,14 +1415,21 @@ def test_go_template_printf_q_strconv_quote(spark):
 
     # %q composes with other verbs; non-string args stay loud
     df2 = spark.createDataFrame([("x y",)], "tag string")
-    r = df2.select(
-        compile_go_template(
-            '{{printf "tag=%q n=%d" .Tag (len .Tag)}}',
-            F.create_map().cast("map<string,string>"),
-            F.col("tag"), F.lit(None).cast("timestamp"),
-        ).alias("t")
-    ).collect()[0]["t"]
-    assert r == 'tag="x y" n=3'
+
+    def render2(tpl):
+        return df2.select(
+            compile_go_template(
+                tpl, F.create_map().cast("map<string,string>"),
+                F.col("tag"), F.lit(None).cast("timestamp"),
+            ).alias("t")
+        ).collect()[0]["t"]
+
+    assert render2('{{printf "tag=%q n=%d" .Tag (len .Tag)}}') == 'tag="x y" n=3'
+    # parenthesized NESTED printf (late round 5): an inner printf is an
+    # ordinary string operand of the outer call
+    assert render2('{{printf "%s!" (printf "<%s>" .Tag)}}') == "<x y>!"
+    assert render2('{{printf "%q" (printf "%s." .Tag)}}') == '"x y."'
+    assert render2('{{printf "%d" (len (printf "%sab" .Tag))}}') == "5"
     for tpl in ('{{printf "%q" (len .Tag)}}', '{{printf "%q" (eq .Tag "x")}}'):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
