@@ -303,3 +303,39 @@ def test_stream_shed_per_source_wiring(spark, tmp_path):
         for r in kept.groupBy("source").agg(F.collect_list("line_num").alias("l")).collect()
     }
     assert all(v == [1, 2, 3, 4, 5] for v in per_src.values())
+
+
+def test_stream_media_features_match_batch(spark, tmp_path):
+    """Multimodal ingestion under Structured Streaming: extract_features
+    is stateless, so running it inside a readStream micro-batch must
+    yield EXACTLY the batch result (every decoded field incl. the PCM
+    signal features and the flagged bit-packed row) — pins that the
+    Arrow decode kernels work per micro-batch with binary columns."""
+    from go_log_forwarder_spark.functions import multimodal as mm
+
+    indir = tmp_path / "media_in"
+    media = mm.synth_media(spark, 120).drop("meta")
+    media.write.mode("overwrite").parquet(str(indir))
+
+    batch = {
+        r["media_id"]: tuple(r) for r in mm.extract_features(media).collect()
+    }
+    q = (
+        mm.extract_features(
+            spark.readStream.schema(
+                "media_id long, kind string, content binary"
+            ).parquet(str(indir))
+        )
+        .writeStream.format("memory")
+        .queryName("media_feats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r["media_id"]: tuple(r)
+        for r in spark.sql("select * from media_feats").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 120
+    assert not streamed[102][3]  # the flagged bit-packed row survives
