@@ -662,6 +662,79 @@ def substring_spans_sql(
     """
 
 
+def remove_repeated_spans(
+    df: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """APPLY the span-level dedup (the step after :func:`substring_spans`
+    finds the spans): drop every word covered by a repeated-substring
+    span and re-join the survivors — the corpus-cleaning half of the
+    Lee et al. 2021 pipeline. Returns
+    (doc_id, clean_text, n_kept, n_removed) for EVERY input document
+    (documents without spans pass through unchanged).
+
+    Distributed shape (100 TB story): the span relation is tiny relative
+    to the corpus (only repeated regions survive), collected per doc_id
+    into an array by ONE groupBy and left-joined back; the word drop is
+    a pure Catalyst higher-order filter (two-arg lambda gives the word
+    index; an EXISTS over the doc's span array covers it) — the corpus
+    text is never exploded and never crosses a shuffle."""
+    spans = substring_spans(df, n, text_col, id_col)
+    span_t = "array<struct<span_start:bigint,span_end:bigint>>"
+    sp_agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), words_col(F.col(text_col)).alias("_ws")
+    )
+    joined = docs.join(sp_agg, "doc_id", "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array().cast(span_t))
+    )
+    kept = F.filter(
+        F.col("_ws"),
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size("_ws") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_spans_sql(
+    table: str, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`remove_repeated_spans`: the spans CTE is the
+    :func:`substring_spans_sql` query verbatim; the word drop is a list
+    comprehension whose IF clause runs a nested ``list_filter`` lambda
+    capturing the comprehension index (DuckDB supports the capture)."""
+    ws = words_sql(text_col)
+    keep = (
+        "[ d.w[i] FOR i IN generate_series(1, len(d.w)) "
+        "IF len(list_filter(COALESCE(a.spans, CAST([] AS BIGINT[][])), "
+        "s -> i >= s[1] AND i <= s[2])) = 0 ]"
+    )
+    return f"""
+        WITH spans_rel AS ({substring_spans_sql(table, n, text_col, id_col)}),
+        agg AS (
+            SELECT doc_id, list([span_start, span_end]) AS spans
+            FROM spans_rel GROUP BY doc_id
+        ),
+        docs AS (SELECT {id_col} AS doc_id, {ws} AS w FROM {table})
+        SELECT doc_id,
+               COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(n_words - len(kept) AS BIGINT) AS n_removed
+        FROM (
+            SELECT d.doc_id, len(d.w) AS n_words, {keep} AS kept
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+        ) t
+    """
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Near-dup clustering: connected components over a pair relation
     (id_a, id_b) via iterative min-label propagation — the dedup step that

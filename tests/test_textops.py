@@ -138,6 +138,40 @@ def test_substring_spans_golden(spark):
     assert oracle == got
 
 
+def test_remove_repeated_spans_golden_and_oracle(spark):
+    # the APPLY half of span dedup: covered words drop, survivors re-join,
+    # span-free docs pass through; DuckDB twin agrees on every column
+    import duckdb
+
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "x y a b c d q"),
+        (3, "p q r s p q r s"),
+        (4, "a b c z0 z1 z2 z3 a b c"),
+        (5, "completely unique words here indeed"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dd.remove_repeated_spans(df, n=3).collect()
+    }
+    assert got == {
+        1: ("e f", 2, 4),
+        2: ("x y q", 3, 4),
+        3: ("", 0, 8),                    # whole doc was one repeat span
+        4: ("z0 z1 z2 z3", 4, 6),
+        5: ("completely unique words here indeed", 5, 0),
+    }
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(dd.remove_spans_sql("documents", n=3)).fetchall()
+    }
+    assert oracle == got
+
+
 def test_jaccard_pairs_golden(spark, docs_df):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard_micro"]
