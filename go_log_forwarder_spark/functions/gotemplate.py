@@ -27,7 +27,11 @@ Catalyst (one projection, no Python in the hot path):
   ``.Data.key``), and ``{{printf "fmt" args...}}`` with verbs ``%s``,
   ``%v``, ``%d``, ``%t`` (boolean args only; Go %!t-mangles the rest),
   ``%q`` (string args -> strconv.Quote via the ``go_quote`` escape chain)
-  and ``%%``; args are fields, string literals, the dot, or
+  and ``%%``, each verb taking optional flags+width (``%-8s``, ``%05d``,
+  ``%+d`` — '-'/width on any slot, '0'/'+' on integer slots; precision
+  stays loud: Go truncates bytes, Java chars; width counts runes in Go
+  vs UTF-16 units in Java — identical below U+10000); args are fields,
+  string literals, the dot, or
   parenthesized sub-calls nested to any depth (``len``/``index``/the
   comparison builtins/``printf`` itself); ``%d`` requires an
   integer-valued arg (``len``); compiled to ``format_string`` — still one
@@ -774,54 +778,60 @@ def compile_go_template(
                 acc = F.when(cond, vals[i]).otherwise(acc)
             return acc, out_kind
         # printf: validate verbs against arg kinds, compile to format_string.
-        # Linear scan, not regex (ADVICE r4): a trailing unpaired '%' must be
-        # a BUILD-time error (format_string throws UnknownFormatConversion at
-        # execute time), and the %v->%s rewrite must skip sequences already
-        # consumed by %% ("%%v" is literal-percent + 'v' in Go, not a verb).
+        # Linear scan, not regex (ADVICE r4): a trailing unpaired '%' must
+        # be a BUILD-time error (format_string throws
+        # UnknownFormatConversion at execute time), and the %v->%s rewrite
+        # must skip sequences already consumed by %% ("%%v" is
+        # literal-percent + 'v' in Go, not a verb). Flags/width ('-', and
+        # '0'/'+' for integer slots, plus a decimal width) pass through —
+        # Go's fmt and java.util.Formatter agree on them; the java
+        # directive is chosen PER ARG KIND below ('%05v' of an int must be
+        # a %d slot: Java refuses zero-padded %s). Precision ('.N') stays
+        # loud: Go truncates BYTES, Java truncates chars. Documented
+        # divergence: width counts runes in Go but UTF-16 units in Java —
+        # identical except for astral (> U+FFFF) characters.
         fmt = n.args[0].value
-        verbs: list[str] = []
-        jparts: list[str] = []
+        parts: list = []  # str literals interleaved with (verb, spec)
         i = 0
         while i < len(fmt):
             c = fmt[i]
             if c != "%":
-                jparts.append(c)
+                parts.append(c)
                 i += 1
                 continue
-            if i + 1 >= len(fmt):
+            j = i + 1
+            spec = ""
+            while j < len(fmt) and fmt[j] in "-0+":
+                spec += fmt[j]
+                j += 1
+            while j < len(fmt) and fmt[j].isdigit():
+                spec += fmt[j]
+                j += 1
+            if j >= len(fmt):
                 raise ValueError(
                     f"printf format ends with an unpaired '%' in {template!r}"
                 )
-            nxt = fmt[i + 1]
+            nxt = fmt[j]
+            if nxt == ".":
+                raise ValueError(
+                    f"printf precision (%.N) is not compilable (Go truncates"
+                    f" bytes, Java truncates chars) in {template!r}"
+                )
             if nxt == "%":
-                jparts.append("%%")
-            elif nxt in ("s", "v"):
-                verbs.append(nxt)
-                jparts.append("%s")  # %v renders like %s once stringified
-            elif nxt == "d":
-                verbs.append(nxt)
-                jparts.append("%d")
-            elif nxt == "t":
-                # Go %t renders a bool as true/false (non-bool args are
-                # %!t-mangled — rejected below), stringified into a %s slot
-                verbs.append(nxt)
-                jparts.append("%s")
-            elif nxt == "q":
-                # Go %q of a string = strconv.Quote — computed as the
-                # go_quote() escape chain, so the format slot is plain %s
-                verbs.append(nxt)
-                jparts.append("%s")
-            elif nxt == "x":
-                # Go %x of a string = lowercase hex of its bytes; computed
-                # as lower(hex(col)) so the format slot is a plain %s
-                verbs.append(nxt)
-                jparts.append("%s")
+                if spec:
+                    raise ValueError(
+                        f"printf flags on %% are not a Go verb in {template!r}"
+                    )
+                parts.append("%%")
+            elif nxt in ("s", "v", "d", "t", "q", "x"):
+                parts.append((nxt, spec))
             else:
                 raise ValueError(
                     f"printf verb %{nxt} not in the compilable subset"
                     f" (%s, %v, %d, %t, %q, %x, %%) in {template!r}"
                 )
-            i += 2
+            i = j + 1
+        verbs = [p for p in parts if isinstance(p, tuple)]
         args = [eval_arg(a, dot, env) for a in n.args[1:]]
         if len(verbs) != len(args):
             raise ValueError(
@@ -829,7 +839,25 @@ def compile_go_template(
                 f" {len(args)} args) in {template!r}"
             )
         cols = []
-        for (col, kind), v in zip(args, verbs):
+        jparts: list[str] = []
+        k = 0
+        for p in parts:
+            if isinstance(p, str):
+                jparts.append(p)
+                continue
+            v, spec = p
+            col, kind = args[k]
+            k += 1
+            int_slot = v == "d" or (v == "v" and kind == "int")
+            if spec and not int_slot:
+                for fl in "0+":
+                    if fl in spec:
+                        # Go zero-pads/signs strings; Java %s refuses the
+                        # flag — loud rather than silently diverging
+                        raise ValueError(
+                            f"printf flag '{fl}' needs an integer slot"
+                            f" (%d / %v-of-int) in {template!r}"
+                        )
             if v == "d" and kind != "int":
                 raise ValueError(
                     f"printf %d needs an integer arg (len ...) in {template!r}"
@@ -862,8 +890,9 @@ def compile_go_template(
                         f"printf %x needs a string arg in {template!r}"
                     )
                 col = F.lower(F.hex(col))
-            if v in ("s", "v") and kind != "str":
+            if v in ("s", "v") and kind != "str" and not int_slot:
                 col = _to_str(col, kind)
+            jparts.append("%" + spec + ("d" if int_slot else "s"))
             cols.append(col)
         return F.format_string("".join(jparts), *cols), "str"
 

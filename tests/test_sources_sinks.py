@@ -1430,6 +1430,25 @@ def test_go_template_printf_q_strconv_quote(spark):
     assert render2('{{printf "%s!" (printf "<%s>" .Tag)}}') == "<x y>!"
     assert render2('{{printf "%q" (printf "%s." .Tag)}}') == '"x y."'
     assert render2('{{printf "%d" (len (printf "%sab" .Tag))}}') == "5"
+    # flags + width (late round 5): '-'/width on any slot, '0'/'+' on
+    # integer slots; %0Nv of an int compiles to a %d java slot (Java
+    # refuses zero-padded %s); %Nq pads the QUOTED result like Go
+    assert render2('{{printf "[%5s]" .Tag}}') == "[  x y]"
+    assert render2('{{printf "[%-5s]" .Tag}}') == "[x y  ]"
+    assert render2('{{printf "[%05d]" (len .Tag)}}') == "[00003]"
+    assert render2('{{printf "[%+d]" (len .Tag)}}') == "[+3]"
+    assert render2('{{printf "[%04v]" (len .Tag)}}') == "[0003]"
+    assert render2('{{printf "[%7q]" .Tag}}') == '[  "x y"]'
+    assert render2('{{printf "[%-8x]" .Tag}}') == "[782079  ]"
+    for tpl2 in (
+        '{{printf "%.3s" .Tag}}',   # precision: Go bytes vs Java chars
+        '{{printf "%05s" .Tag}}',   # Java refuses zero-padded %s
+        '{{printf "%+q" .Tag}}',    # '+' needs an integer slot
+        '{{printf "%5" .Tag}}',     # dangling width
+        '{{printf "%5%" .Tag}}',    # flags on %% are not a Go verb
+    ):
+        with pytest.raises(ValueError):
+            compile_go_template(tpl2, F.lit(None), F.lit(""), F.lit(None))
     for tpl in ('{{printf "%q" (len .Tag)}}', '{{printf "%q" (eq .Tag "x")}}'):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
