@@ -596,7 +596,15 @@ def substring_spans(
         .filter(F.col("n_occ") >= 2)
         .select("h")
     )
-    dup_pos = sp.join(dup_h, "h", "left_semi")
+    return _spans_from_dup_positions(sp.join(dup_h, "h", "left_semi"), n)
+
+
+def _spans_from_dup_positions(dup_pos: DataFrame, n: int) -> DataFrame:
+    """Merge duplicated shingle-start positions (id, pos) into maximal
+    spans: per-document islands window (lag + running sum) — partition =
+    one document, never a corpus-wide sort."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     new_island = (
         F.when(
@@ -660,6 +668,63 @@ def substring_spans_sql(
                COUNT(*)::BIGINT AS n_shingles
         FROM isl GROUP BY id, grp
     """
+
+
+SPAN_INDEX_TABLE = "span_shingles"
+
+
+def span_index_increment(
+    store, batch: DataFrame, n: int = SPAN_NGRAM,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> int:
+    """Incremental substring-span dedup, write side (round-6 shortlist
+    item 1, same shape as :func:`lsh_index_increment`): shingle ONLY the
+    new batch and append its per-hash partial counts (h, n_occ) as one
+    atomic snapshot of the persisted index. Positions are deliberately
+    NOT persisted — the global ≥2 filter needs only counts, and the count
+    relation is bounded by distinct shingles while a position relation
+    would be corpus-sized (one row per word). Returns the committed
+    snapshot id."""
+    counts = (
+        shingle_positions(batch, n, text_col, id_col)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return store.append(counts, SPAN_INDEX_TABLE)
+
+
+def span_incremental_spans(
+    spark,
+    store,
+    batch: DataFrame,
+    n: int = SPAN_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental substring-span dedup, read side: removal spans of the
+    NEW batch's documents under FULL-corpus shingle counts — a shingle is
+    duplicated if its occurrences summed across every committed snapshot
+    (history + this batch) reach 2, so a repeat whose first copy lives in
+    an EARLIER batch is caught (the case a per-batch recompute misses).
+
+    EXACT equivalence: span membership of a position depends only on its
+    shingle's global count, so this result equals
+    ``substring_spans(full corpus)`` restricted to the batch's documents —
+    that equality is the test gate. Scale shape: history is ONE FileScan
+    of (h, n_occ) partials re-aggregated by hash (never re-shingled);
+    only the batch's own text is shingled again for its positions — a
+    map-side pass over the increment, not the corpus."""
+    all_counts = store.read(spark, SPAN_INDEX_TABLE)
+    if all_counts is None:
+        raise ValueError(f"no snapshots committed to {SPAN_INDEX_TABLE}")
+    dup_h = (
+        all_counts.groupBy("h")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    sp = shingle_positions(batch, n, text_col, id_col)
+    return _spans_from_dup_positions(sp.join(dup_h, "h", "left_semi"), n)
 
 
 def remove_repeated_spans(

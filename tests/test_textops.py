@@ -138,6 +138,59 @@ def test_substring_spans_golden(spark):
     assert oracle == got
 
 
+def test_span_incremental_index(spark, tmp_path):
+    # round-6 shortlist item 1: incremental substring-span dedup. A second
+    # run shingles ONLY its own batch; history arrives as (h, n_occ) count
+    # partials off the snapshot store; a cross-batch repeat (first copy in
+    # batch 1, second in batch 2) IS caught; and the result equals the
+    # full-corpus substring_spans restricted to the batch's docs — exactly.
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "x y a b c d q"),
+        (3, "p q r s p q r s"),
+        (4, "m n o a b c d w"),       # cross-batch repeat of "a b c d"
+        (5, "completely unique words here indeed"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    b1 = df.filter(F.col("doc_id") <= 2)
+    b2 = df.filter(F.col("doc_id") >= 3)
+    store = ParquetSnapshotStore(str(tmp_path))
+
+    s1 = dd.span_index_increment(store, b1, n=3)
+    assert s1 == 1
+    run1 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dd.span_incremental_spans(spark, store, b1, n=3).collect()
+    }
+    # batch-1 run: history is batch 1 itself -> equals batch-1-only spans
+    want1 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dd.substring_spans(b1, n=3).collect()
+    }
+    assert run1 == want1 and (1, 1, 4) in run1
+
+    s2 = dd.span_index_increment(store, b2, n=3)
+    assert s2 == 2
+    got2 = dd.span_incremental_spans(spark, store, b2, n=3)
+    # history counts are READ off snap= partials, never re-shingled
+    assert all("snap=" in f for f in got2.inputFiles())
+    rows2 = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_shingles"])
+        for r in got2.collect()
+    }
+    # exact equivalence: full-corpus spans restricted to batch-2 docs
+    want2 = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_shingles"])
+        for r in dd.substring_spans(df, n=3).collect()
+        if r["doc_id"] >= 3
+    }
+    assert rows2 == want2
+    # the cross-batch repeat is in there (doc 4 shares "a b c d" with 1/2)
+    assert any(r[0] == 4 for r in rows2)
+
+
 def test_remove_repeated_spans_golden_and_oracle(spark):
     # the APPLY half of span dedup: covered words drop, survivors re-join,
     # span-free docs pass through; DuckDB twin agrees on every column
