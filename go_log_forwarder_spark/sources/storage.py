@@ -33,6 +33,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CompactionFenced(RuntimeError):
+    """compact() refused: a registered incremental consumer still holds a
+    checkpoint below the would-be compacted snapshot (it would re-read
+    every folded row as new)."""
+
+
 class ParquetSnapshotStore:
     """Parquet-files + JSON-manifest snapshot store (Iceberg fallback)."""
 
@@ -96,6 +102,37 @@ class ParquetSnapshotStore:
         os.rename(tmp, os.path.join(mdir, f"{snapshot_id}.json"))  # atomic commit
         return snapshot_id
 
+    def _checkpoint_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "checkpoints")
+
+    def set_checkpoint(self, table: str, consumer: str, snapshot_id: int) -> None:
+        """Record that ``consumer`` has fully processed snapshots up to and
+        including ``snapshot_id`` (atomic rename, same commit discipline as
+        manifests). Registered checkpoints FENCE :meth:`compact` — the
+        checkpoint-aware half of the quiescence contract: an incremental
+        reader that still needs per-snapshot granularity blocks the fold
+        instead of silently re-reading compacted rows."""
+        d = self._checkpoint_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"consumer": consumer, "snapshot_id": snapshot_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(d, f"{consumer}.json"))
+
+    def checkpoints(self, table: str) -> dict[str, int]:
+        d = self._checkpoint_dir(table)
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    m = json.load(fh)
+                out[m["consumer"]] = m["snapshot_id"]
+        return out
+
     def read(
         self, spark: SparkSession, table: str, after_snapshot: int | None = None
     ) -> DataFrame | None:
@@ -110,7 +147,8 @@ class ParquetSnapshotStore:
         return spark.read.parquet(*[live[i]["data_dir"] for i in ids])
 
     def compact(
-        self, spark: SparkSession, table: str, target_mb: int = 128
+        self, spark: SparkSession, table: str, target_mb: int = 128,
+        force: bool = False,
     ) -> int | None:
         """Fold every live snapshot into ONE (the Iceberg
         ``rewrite_data_files`` analog — the small-files fix: thousands of
@@ -124,10 +162,15 @@ class ParquetSnapshotStore:
 
         Incremental-read contract (same as Iceberg rewrites): the compacted
         snapshot carries rows older than any checkpoint ``< k``, so
-        ``read(after_snapshot=j)`` for ``j < k`` re-reads them. Run
-        compaction only at a quiescent point — for the LSH dedup index,
-        between batch runs (each run reads only its OWN snapshot as new).
-        Returns the surviving snapshot id, or None if <=1 live snapshot."""
+        ``read(after_snapshot=j)`` for ``j < k`` re-reads them. Consumers
+        that register progress via :meth:`set_checkpoint` are FENCED
+        (round-6 shortlist item 2): if any registered checkpoint is below
+        the newest live snapshot, compact raises :class:`CompactionFenced`
+        instead of committing — re-run after the lagging consumer catches
+        up, or pass ``force=True`` to accept the re-read. Unregistered
+        readers remain covered only by the documented quiescent-point
+        contract. Returns the surviving snapshot id, or None if <=1 live
+        snapshot."""
         from go_log_forwarder_spark.operators.compaction import dir_bytes
 
         all_mans = self._manifests(table)
@@ -135,6 +178,16 @@ class ParquetSnapshotStore:
         if len(live) <= 1:
             return None
         k = max(live)
+        if not force:
+            lagging = {
+                c: j for c, j in self.checkpoints(table).items() if j < k
+            }
+            if lagging:
+                raise CompactionFenced(
+                    f"compact({table!r}) would fold snapshots <= {k} but "
+                    f"consumers still hold older checkpoints: {lagging} — "
+                    f"advance them (set_checkpoint) or pass force=True"
+                )
         data_dir = os.path.join(
             self._table_dir(table), "data", f"snap={k}-compact-{uuid.uuid4().hex[:8]}"
         )
@@ -188,9 +241,12 @@ class IcebergStore:
             reader = reader.option("start-snapshot-id", str(after_snapshot))
         return reader.load(f"{self.catalog}.{table}")
 
-    def compact(self, spark: SparkSession, table: str, target_mb: int = 128):
+    def compact(self, spark: SparkSession, table: str, target_mb: int = 128,
+                force: bool = False):
         """Managed-table compaction is a stored procedure (same contract as
-        :meth:`ParquetSnapshotStore.compact` — run at a quiescent point)."""
+        :meth:`ParquetSnapshotStore.compact` — run at a quiescent point;
+        Iceberg tracks no consumer checkpoints table-side, so the
+        checkpoint fence lives in the orchestration layer there)."""
         spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files("
             f"table => '{table}', "

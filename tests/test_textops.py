@@ -298,6 +298,43 @@ def test_lsh_incremental_index_no_recompute(spark, docs_df, tmp_path):
         dd.lsh_incremental_pairs(spark, store, docs_df, 99)
 
 
+def test_compaction_checkpoint_fence(spark, tmp_path):
+    # round-6 shortlist item 2: a registered incremental consumer whose
+    # checkpoint is below the newest snapshot FENCES compact() — the fold
+    # would make read(after_snapshot=j) re-read every compacted row as
+    # new. Advancing the checkpoint (or force=True) lifts the fence, and
+    # a caught-up consumer reads nothing new post-compaction.
+    from go_log_forwarder_spark.sources.storage import (
+        CompactionFenced,
+        ParquetSnapshotStore,
+    )
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    t = "fence_t"
+    for k in range(3):
+        store.append(spark.range(k * 10, k * 10 + 10).toDF("v"), t)
+    store.set_checkpoint(t, "dedup-run", 2)  # lags behind snapshot 3
+
+    with pytest.raises(CompactionFenced, match="dedup-run"):
+        store.compact(spark, t, target_mb=1)
+    assert store.snapshots(t) == [1, 2, 3]  # fence left the table untouched
+
+    store.set_checkpoint(t, "dedup-run", 3)
+    assert store.compact(spark, t, target_mb=1) == 3
+    assert store.snapshots(t) == [3]
+    # caught-up consumer sees nothing new; rows are intact
+    assert store.read(spark, t, after_snapshot=3) is None
+    assert store.read(spark, t).count() == 30
+
+    # force=True overrides a lagging fence (accepting the re-read)
+    store.append(spark.range(100, 110).toDF("v"), t)
+    store.set_checkpoint(t, "dedup-run", 3)
+    with pytest.raises(CompactionFenced):
+        store.compact(spark, t, target_mb=1)
+    assert store.compact(spark, t, target_mb=1, force=True) == 4
+    assert store.read(spark, t).count() == 40
+
+
 def test_lsh_index_compaction(spark, docs_df, tmp_path):
     # Round-5 TODO closure: fold N per-batch index snapshots into one
     # (Iceberg rewrite_data_files analog). Bands identical, one snap= dir,
