@@ -444,13 +444,38 @@ def q_text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (span-level) dedup — VERDICT r4 item 1, the Lee et
-    al. 2021 repeated-substring mode: maximal per-doc word spans covered by
-    any 5-gram occurring >= 2 times anywhere in the corpus. Distributed
-    shape: shingle positions (map-side) -> fingerprint-partitioned groupBy
-    index -> semi-join back -> per-doc islands window. Its roster slot
-    comes from folding the former dedup_exact row into tokens_dedup_exact
-    (both hash-green r1-r4)."""
-    return dd.substring_spans(_documents(spark, sf_dir))
+    al. 2021 repeated-substring mode — in ONE gated relation (late-round-5
+    merge, simhash-style): kind='span' rows are the maximal per-doc word
+    spans covered by any 5-gram occurring >= 2 times anywhere in the
+    corpus (v1..v4 = span_start, span_end, span_len, n_shingles — the
+    former row, hash-green all round); kind='clean' rows are the APPLY
+    half (remove_repeated_spans): every covered word dropped via a pure
+    Catalyst two-arg HOF filter + EXISTS over the doc's collected span
+    array (v1 = n_kept, v2 = n_removed, v3 = hex60 of the cleaned text —
+    pins every surviving word and its order, v4 = 0). Distributed shape:
+    shingle positions (map-side) -> fingerprint-partitioned groupBy index
+    -> semi-join back -> per-doc islands window; the cleaner re-joins the
+    tiny span relation, the corpus text is never exploded. Its roster
+    slot comes from folding the former dedup_exact row into
+    tokens_dedup_exact (both hash-green r1-r4)."""
+    docs = _documents(spark, sf_dir)
+    spans = dd.substring_spans(docs).select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("v1"),
+        F.col("span_end").cast("bigint").alias("v2"),
+        F.col("span_len").cast("bigint").alias("v3"),
+        F.col("n_shingles").cast("bigint").alias("v4"),
+    )
+    clean = dd.remove_repeated_spans(docs).select(
+        F.lit("clean").alias("kind"),
+        "doc_id",
+        F.col("n_kept").alias("v1"),
+        F.col("n_removed").alias("v2"),
+        ts.hex60_col(F.col("clean_text")).alias("v3"),
+        F.lit(0).cast("bigint").alias("v4"),
+    )
+    return spans.unionByName(clean)
 
 
 JACCARD_THRESHOLD = 0.5
@@ -1767,7 +1792,20 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": dd.decontaminate_sql(
             "documents", f"doc_id % {DECON_BENCH_MOD} = 0"
         ),
-        "dedup_substring_spans": dd.substring_spans_sql("documents"),
+        "dedup_substring_spans": f"""
+            SELECT 'span' AS kind, doc_id,
+                   CAST(span_start AS BIGINT) AS v1,
+                   CAST(span_end AS BIGINT) AS v2,
+                   CAST(span_len AS BIGINT) AS v3,
+                   CAST(n_shingles AS BIGINT) AS v4
+            FROM ({dd.substring_spans_sql("documents")})
+            UNION ALL
+            SELECT 'clean' AS kind, doc_id,
+                   n_kept AS v1, n_removed AS v2,
+                   {ts.hex60_sql("clean_text")} AS v3,
+                   CAST(0 AS BIGINT) AS v4
+            FROM ({dd.remove_spans_sql("documents")})
+        """,
         "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash_pairs": f"""
