@@ -448,7 +448,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, simhash-style): kind='span' rows are the maximal per-doc word
     spans covered by any 5-gram occurring >= 2 times anywhere in the
     corpus (v1..v4 = span_start, span_end, span_len, n_shingles — the
-    former row, hash-green all round); kind='clean' rows are the APPLY
+    former row, hash-green all round; half the corpus now flows through
+    the INCREMENTAL snapshot-store index, see the inline comment);
+    kind='clean' rows are the APPLY
     half (remove_repeated_spans): every covered word dropped via a pure
     Catalyst two-arg HOF filter + EXISTS over the doc's collected span
     array (v1 = n_kept, v2 = n_removed, v3 = hex60 of the cleaned text —
@@ -459,7 +461,31 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot comes from folding the former dedup_exact row into
     tokens_dedup_exact (both hash-green r1-r4)."""
     docs = _documents(spark, sf_dir)
-    spans = dd.substring_spans(docs).select(
+    # kind='span' rows DRIVE the incremental index (minhash_lsh-style,
+    # late round 5): the corpus arrives as two batches whose (h, n_occ)
+    # count partials append to a persisted snapshot-store index; after
+    # batch 2 commits, the global counts equal the full corpus, so batch
+    # 2's spans off the incremental read == the full recompute restricted
+    # to batch 2 (span membership depends only on a shingle's global
+    # count) — batch 1's spans come from the full recompute, and the
+    # UNCHANGED full-corpus oracle pins the equality. History reaches the
+    # plan as snap= FileScans of count partials, never re-shingled.
+    import atexit
+    import shutil
+    import tempfile
+
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="glfs_span_idx_")
+    store = ParquetSnapshotStore(tmp)
+    dd.span_index_increment(store, batch1)
+    dd.span_index_increment(store, batch2)
+    inc2 = dd.span_incremental_spans(spark, store, batch2)
+    full1 = dd.substring_spans(docs).filter(F.col("doc_id") % 2 == 0)
+    atexit.register(shutil.rmtree, tmp, True)
+    spans = full1.unionByName(inc2).select(
         F.lit("span").alias("kind"),
         "doc_id",
         F.col("span_start").cast("bigint").alias("v1"),
