@@ -476,14 +476,15 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
 
-    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
-    batch2 = docs.filter(F.col("doc_id") % 2 == 1)
+    history = docs.filter(F.col("doc_id") % 10 != 1)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 1)
     tmp = tempfile.mkdtemp(prefix="glfs_span_idx_")
     store = ParquetSnapshotStore(tmp)
-    dd.span_index_increment(store, batch1)
+    dd.span_index_increment(store, history)
     dd.span_index_increment(store, batch2)
     inc2 = dd.span_incremental_spans(spark, store, batch2)
-    full1 = dd.substring_spans(docs).filter(F.col("doc_id") % 2 == 0)
+    spans_full = dd.substring_spans(docs).persist()
+    full1 = spans_full.filter(F.col("doc_id") % 10 != 1)
     atexit.register(shutil.rmtree, tmp, True)
     spans = full1.unionByName(inc2).select(
         F.lit("span").alias("kind"),
@@ -493,7 +494,7 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_len").cast("bigint").alias("v3"),
         F.col("n_shingles").cast("bigint").alias("v4"),
     )
-    clean = dd.remove_repeated_spans(docs).select(
+    clean = dd.remove_repeated_spans(docs, spans=spans_full).select(
         F.lit("clean").alias("kind"),
         "doc_id",
         F.col("n_kept").alias("v1"),

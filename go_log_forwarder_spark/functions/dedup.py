@@ -728,7 +728,8 @@ def span_incremental_spans(
 
 
 def remove_repeated_spans(
-    df: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, n: int = SPAN_NGRAM, text_col: str = "text",
+    id_col: str = "doc_id", spans: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY the span-level dedup (the step after :func:`substring_spans`
     finds the spans): drop every word covered by a repeated-substring
@@ -742,8 +743,11 @@ def remove_repeated_spans(
     into an array by ONE groupBy and left-joined back; the word drop is
     a pure Catalyst higher-order filter (two-arg lambda gives the word
     index; an EXISTS over the doc's span array covers it) — the corpus
-    text is never exploded and never crosses a shuffle."""
-    spans = substring_spans(df, n, text_col, id_col)
+    text is never exploded and never crosses a shuffle. Pass ``spans``
+    (a precomputed/persisted :func:`substring_spans` relation) to avoid
+    re-shingling the corpus when the caller already has it."""
+    if spans is None:
+        spans = substring_spans(df, n, text_col, id_col)
     span_t = "array<struct<span_start:bigint,span_end:bigint>>"
     sp_agg = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
