@@ -483,7 +483,12 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.span_index_increment(store, history)
     dd.span_index_increment(store, batch2)
     inc2 = dd.span_incremental_spans(spark, store, batch2)
-    spans_full = dd.substring_spans(docs).persist()
+    # materialize the shared full-spans relation to the SAME temp dir
+    # (not .persist(): a cached relation would pin executor storage for
+    # the rest of the 50-query driver run with nothing to unpersist it)
+    spans_path = os.path.join(tmp, "spans_full")
+    dd.substring_spans(docs).write.parquet(spans_path)
+    spans_full = spark.read.parquet(spans_path)
     full1 = spans_full.filter(F.col("doc_id") % 10 != 1)
     atexit.register(shutil.rmtree, tmp, True)
     spans = full1.unionByName(inc2).select(
@@ -1820,18 +1825,21 @@ def oracle_sql() -> dict[str, str]:
             "documents", f"doc_id % {DECON_BENCH_MOD} = 0"
         ),
         "dedup_substring_spans": f"""
+            WITH spans_shared AS MATERIALIZED (
+                {dd.substring_spans_sql("documents")}
+            )
             SELECT 'span' AS kind, doc_id,
                    CAST(span_start AS BIGINT) AS v1,
                    CAST(span_end AS BIGINT) AS v2,
                    CAST(span_len AS BIGINT) AS v3,
                    CAST(n_shingles AS BIGINT) AS v4
-            FROM ({dd.substring_spans_sql("documents")})
+            FROM spans_shared
             UNION ALL
             SELECT 'clean' AS kind, doc_id,
                    n_kept AS v1, n_removed AS v2,
                    {ts.hex60_sql("clean_text")} AS v3,
                    CAST(0 AS BIGINT) AS v4
-            FROM ({dd.remove_spans_sql("documents")})
+            FROM ({dd.remove_spans_sql("documents", spans_rel="spans_shared")})
         """,
         "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),

@@ -587,8 +587,6 @@ def substring_spans(
     output spans are exactly the maximal unions of covered words.
     Returns (doc_id, span_start, span_end, span_len, n_shingles) with
     1-based inclusive word indexes."""
-    from pyspark.sql.window import Window
-
     sp = shingle_positions(df, n, text_col, id_col)
     dup_h = (
         sp.groupBy("h")
@@ -774,10 +772,15 @@ def remove_repeated_spans(
 
 
 def remove_spans_sql(
-    table: str, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
+    table: str, n: int = SPAN_NGRAM, text_col: str = "text",
+    id_col: str = "doc_id", spans_rel: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`remove_repeated_spans`: the spans CTE is the
-    :func:`substring_spans_sql` query verbatim; the word drop is a list
+    :func:`substring_spans_sql` query verbatim — or, when ``spans_rel``
+    names an already-defined relation/CTE, that relation (the SQL sibling
+    of the function's ``spans`` parameter; a caller that also selects the
+    spans themselves shares ONE evaluation instead of DuckDB re-running
+    the shingle+group pipeline per reference). The word drop is a list
     comprehension whose IF clause runs a nested ``list_filter`` lambda
     capturing the comprehension index (DuckDB supports the capture)."""
     ws = words_sql(text_col)
@@ -786,8 +789,9 @@ def remove_spans_sql(
         "IF len(list_filter(COALESCE(a.spans, CAST([] AS BIGINT[][])), "
         "s -> i >= s[1] AND i <= s[2])) = 0 ]"
     )
+    spans_src = spans_rel or f"({substring_spans_sql(table, n, text_col, id_col)})"
     return f"""
-        WITH spans_rel AS ({substring_spans_sql(table, n, text_col, id_col)}),
+        WITH spans_rel AS (SELECT * FROM {spans_src}),
         agg AS (
             SELECT doc_id, list([span_start, span_end]) AS spans
             FROM spans_rel GROUP BY doc_id

@@ -800,16 +800,34 @@ def compile_go_template(
                 i += 1
                 continue
             j = i + 1
-            spec = ""
+            flags = ""
             while j < len(fmt) and fmt[j] in "-0+":
-                spec += fmt[j]
+                flags += fmt[j]
                 j += 1
+            width = ""
             while j < len(fmt) and fmt[j].isdigit():
-                spec += fmt[j]
+                width += fmt[j]
                 j += 1
+            spec = flags + width
             if j >= len(fmt):
                 raise ValueError(
                     f"printf format ends with an unpaired '%' in {template!r}"
+                )
+            if len(set(flags)) != len(flags) or ("-" in flags and "0" in flags):
+                # Go tolerates duplicate flags and '-0' (last-wins); Java
+                # throws Duplicate/IllegalFormatFlagsException at execute
+                # time — loud at build instead
+                raise ValueError(
+                    f"printf flag combination {flags!r} is not"
+                    f" Java-compatible in {template!r}"
+                )
+            if flags.strip("+") and not width:
+                # Go renders '%-d' / '%0d' fine; Java needs an explicit
+                # width for '-' and '0' (MissingFormatWidthException at
+                # execute time) — loud at build instead
+                raise ValueError(
+                    f"printf flag {flags!r} needs an explicit width"
+                    f" in {template!r}"
                 )
             nxt = fmt[j]
             if nxt == ".":
@@ -862,10 +880,11 @@ def compile_go_template(
                 raise ValueError(
                     f"printf %d needs an integer arg (len ...) in {template!r}"
                 )
-            if v == "s" and kind == "bool":
-                # Go renders %!s(bool=true) for %s-on-bool — loud, use %v
+            if v == "s" and kind != "str":
+                # Go renders %!s(bool=true) / %!s(int=2) for %s of a
+                # non-string — loud, use %v (or %d for ints)
                 raise ValueError(
-                    f"printf %s of a boolean is mangled in Go; use %v in {template!r}"
+                    f"printf %s of a {kind} is mangled in Go; use %v in {template!r}"
                 )
             if v == "t":
                 if kind != "bool":

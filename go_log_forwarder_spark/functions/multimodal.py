@@ -684,6 +684,9 @@ def decode_avi_frames(buf: bytes) -> dict:
                     sums.append(sum(sdata))
     if upf is None:
         raise ValueError("no avih header")
+    if upf == 0:
+        # a zero us_per_frame would reach the Catalyst DIV as /0 — loud here
+        raise ValueError("avih us_per_frame is zero")
     if nf != len(sums):
         raise ValueError(f"avih frame count {nf} != movi chunks {len(sums)}")
     return {
@@ -705,7 +708,13 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                d = decode_avi_frames(bytes(content))
+                try:
+                    d = decode_avi_frames(bytes(content) if content is not None else b"")
+                except (ValueError, struct.error, TypeError, IndexError,
+                        ZeroDivisionError):
+                    # corrupt-input tolerance (extract_features contract):
+                    # a bad video row yields NO frames, never a failed batch
+                    continue
                 out.append(
                     (media_id, d["us_per_frame"], d["duration_ms"], d["frame_sums"])
                 )

@@ -476,6 +476,28 @@ def test_multimodal_frame_sample(spark):
             + (i * k) % 256 + (7 * i + 2 * k) % 256
         ), (i, k)
 
+    # corrupt-input tolerance (extract_features contract): a corrupt AVI,
+    # a NULL payload, and a movi-less container yield NO frames — never a
+    # failed batch; healthy rows in the same batch survive
+    import pandas as pd
+
+    bad = bytearray(mm.synth_avi(2))
+    bad[4] ^= 0xFF  # break the RIFF size -> truncated chunk walk
+    no_movi = mm.synth_avi(5)
+    no_movi = no_movi[: 12 + 8 + 64]  # RIFF + hdrl LIST only (movi cut off)
+    rows = [
+        (2, "video", bytes(bad)),
+        (5, "video", bytes(no_movi)),
+        (7, "video", None),
+        (8, "video", mm.synth_avi(8)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "content"]),
+        schema="media_id long, kind string, content binary",
+    )
+    out = mm.frame_sample(df, every_ms=100).collect()
+    assert out and {r["media_id"] for r in out} == {8}
+
 
 def test_multimodal_column_pruning(spark):
     """Metadata-only plans must not read the binary column."""
@@ -1446,6 +1468,11 @@ def test_go_template_printf_q_strconv_quote(spark):
         '{{printf "%+q" .Tag}}',    # '+' needs an integer slot
         '{{printf "%5" .Tag}}',     # dangling width
         '{{printf "%5%" .Tag}}',    # flags on %% are not a Go verb
+        '{{printf "%-d" (len .Tag)}}',    # Java: MissingFormatWidth
+        '{{printf "%0d" (len .Tag)}}',    # same (Go renders both fine)
+        '{{printf "%-05d" (len .Tag)}}',  # Java: IllegalFormatFlags
+        '{{printf "%00d" (len .Tag)}}',   # Java: DuplicateFormatFlags
+        '{{printf "%s" (len .Tag)}}',     # Go mangles %s-of-int: %!s(int=3)
     ):
         with pytest.raises(ValueError):
             compile_go_template(tpl2, F.lit(None), F.lit(""), F.lit(None))
