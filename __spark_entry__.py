@@ -1574,7 +1574,7 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_oracle_sql(threshold: float = JACCARD_THRESHOLD) -> str:
     cands = dd.lsh_candidates_sql("documents")
-    ws = "regexp_split_to_array(trim(text), '\\s+')"
+    ws = ts.words_sql("text")
     return f"""
         WITH cands AS (SELECT * FROM ({cands}) t),
         ids AS (SELECT id_a AS id FROM cands UNION SELECT id_b FROM cands),

@@ -576,22 +576,31 @@ def compile_go_template(
             return F.coalesce(go_map_string(parsed), F.lit("map[]"))
         return F.coalesce(parsed.getItem(f.key), F.lit("<no value>"))
 
-    # env values: ("expr", node, decl_dot, decl_env) for {{$x := ...}}
-    # (re-evaluated on use — exact, since every expression is pure), or
-    # ("col", column, kind) for range key/value bindings.
+    # env values: ("col", column, kind) for range key/value bindings and
+    # assignments, or ("col", column, kind, (node, decl_dot, decl_env))
+    # for {{$x := ...}} declarations — the column is BUILT once at
+    # declaration instead of re-deriving the expression on every use
+    # (NB Catalyst still serializes Column DAGs as trees, so a var
+    # referenced k times embeds its subtree k times in the plan; deep
+    # SELF-referencing declaration chains are inherently exponential
+    # either way). The trailing context exists ONLY for Go's
+    # underlying-value truth (a var bound to a missing .Data.key is
+    # nil/falsy even though it RENDERS "<no value>") and resolves var
+    # refs against stored columns, so truth re-evaluation stays depth-1.
 
     def truthy(f: _Node, env: dict) -> Column:
         if isinstance(f, _VarRef):
             binding = _binding(f, env)
-            if binding[0] == "col":
-                _, col, kind = binding
-                if kind == "bool":
-                    return col
-                return col != 0 if kind == "int" else col.isNotNull() & (col != "")
-            # Go truth of the UNDERLYING value: a var bound to a missing
-            # .Data.key is nil (falsy) even though it RENDERS "<no value>"
-            _, node, ddot, denv = binding
-            return node_truthy(node, ddot, denv)
+            if len(binding) > 3:
+                # Go truth of the UNDERLYING value: a var bound to a
+                # missing .Data.key is nil (falsy) even though it RENDERS
+                # "<no value>"
+                node, ddot, denv = binding[3]
+                return node_truthy(node, ddot, denv)
+            _, col, kind = binding
+            if kind == "bool":
+                return col
+            return col != 0 if kind == "int" else col.isNotNull() & (col != "")
         if f.root == "Timestamp":
             return F.lit(True)
         if f.root == "Tag":
@@ -608,10 +617,7 @@ def compile_go_template(
 
     def lookup_var(v: _VarRef, env: dict) -> tuple[Column, str]:
         binding = _binding(v, env)
-        if binding[0] == "col":
-            return binding[1], binding[2]
-        _, node, ddot, denv = binding
-        return eval_arg(node, ddot, denv)
+        return binding[1], binding[2]
 
     def node_truthy(a: _Node, dot: Column | None, env: dict) -> Column:
         """Go template truth of ANY supported expression node."""
@@ -686,9 +692,12 @@ def compile_go_template(
                 return F.octet_length(F.coalesce(col, F.lit(""))).cast("long"), "int"
             if isinstance(a, _Call):  # len (index .Data "k") / piped call
                 col, kind = eval_call(a, dot, env)
-                if kind == "int":
+                if kind != "str":
+                    # Go len of an int/bool is an execute-time error —
+                    # loud at build (a bool col would also poison the
+                    # '<no value>' comparison below with a cast failure)
                     raise ValueError(
-                        f"len of an integer is not a Go operation in {template!r}"
+                        f"len of a {kind} is not a Go operation in {template!r}"
                     )
                 # index of a missing key renders "<no value>"; Go's len
                 # errors there — we pin 0 (documented divergence)
@@ -931,10 +940,14 @@ def compile_go_template(
         outer = frozenset(env) if env else frozenset()
         env = dict(env) if env else {}
         parts = []
+        # names re-declared (:=) INSIDE this block shadow the enclosing
+        # binding — Go's `=` then mutates the INNER variable, so such
+        # assignments must never phi-merge back into the outer scope
+        shadowed: set[str] = set()
 
         def note_assign(name: str, col: Column, kind: str) -> None:
             env[name] = ("col", col, kind)
-            if out_assigns is not None and name in outer:
+            if out_assigns is not None and name in outer and name not in shadowed:
                 out_assigns[name] = (col, kind)
 
         def merge_assigns(cond: Column, then_a: dict, else_a: dict) -> None:
@@ -956,7 +969,12 @@ def compile_go_template(
             elif isinstance(n, _IntLit):
                 parts.append(F.lit(str(n.value)))
             elif isinstance(n, _VarDecl):
-                env[n.name] = ("expr", n.value, dot, dict(env))
+                # build the Column ONCE at declaration (expressions are
+                # pure); the (node, dot, env) tail serves underlying-value
+                # truth only (see the env-value note above)
+                snap = dict(env)
+                env[n.name] = ("col", *eval_arg(n.value, dot, env), (n.value, dot, snap))
+                shadowed.add(n.name)
             elif isinstance(n, _VarAssign):
                 if n.name not in env:
                     raise ValueError(

@@ -94,7 +94,11 @@ def _substr_maker(n: int):
     return lambda i: F.col("word").substr(i, F.lit(n))
 
 
-_WS = re.compile(r"\s+")
+# MUST mirror words_col/words_sql exactly: Java/RE2 \s is ASCII-only and
+# Spark/DuckDB trim strips 0x20 only — Python's unicode-aware \s/strip()
+# would split NBSP/U+2000../NEL and hash-mismatch the oracle on any
+# corpus containing non-ASCII whitespace
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def encode_docs(
@@ -136,7 +140,7 @@ def encode_docs(
             ids, n_toks, md5s = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[int] = []
-                for word in _WS.split((text or "").strip()):
+                for word in _WS.split((text or "").strip(" ")):
                     if word:
                         toks.extend(enc_word(word))
                 if not toks:

@@ -167,7 +167,10 @@ def words_col(text: Column) -> Column:
 
 
 def words_sql(text_expr: str) -> str:
-    return f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    # trim(x, ' ') NOT trim(x): DuckDB's default trim strips unicode
+    # spaces (NBSP etc.) while Spark's F.trim strips 0x20 only — an
+    # edge-NBSP corpus would diverge (self-review round 5)
+    return f"regexp_split_to_array(trim({text_expr}, ' '), '\\s+')"
 
 
 def micro_col(x: Column) -> Column:

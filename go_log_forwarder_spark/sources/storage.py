@@ -79,12 +79,24 @@ class ParquetSnapshotStore:
     def snapshots(self, table: str) -> list[int]:
         return sorted(self._live_manifests(table))
 
+    def _max_manifest_id(self, table: str) -> int:
+        """Highest manifest id by FILENAME alone — no manifest is opened.
+        Correct even with stale pre-compaction leftovers (compaction keeps
+        the newest live id, so the filename max equals the live max);
+        keeps N appends at O(N) listdir instead of O(N^2) json parses."""
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return 0
+        return max(
+            (int(f[: -len(".json")]) for f in os.listdir(d) if f.endswith(".json")),
+            default=0,
+        )
+
     def append(self, df: DataFrame, table: str, snapshot_id: int | None = None) -> int:
         """Write a new snapshot; returns its id. Commit is atomic (manifest
         rename); data written before the rename is invisible until then."""
         if snapshot_id is None:
-            existing = self.snapshots(table)
-            snapshot_id = (existing[-1] + 1) if existing else 1
+            snapshot_id = self._max_manifest_id(table) + 1
         data_dir = os.path.join(self._table_dir(table), "data", f"snap={snapshot_id}")
         df.write.mode("overwrite").parquet(data_dir)
         manifest = {

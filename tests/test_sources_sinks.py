@@ -1250,6 +1250,7 @@ def test_go_template_builtin_calls(spark, event_df):
         '{{printf "%s %s" .Tag}}',       # verb/arg count mismatch
         "{{len .Timestamp}}",            # not a Go len operand
         "{{len .Data | len}}",           # len of an integer
+        '{{len (eq .Tag "x")}}',         # len of a boolean (Go exec error)
         '{{index .Tag "a"}}',            # index only over .Data
         "{{.Tag | upper}}",              # unknown pipeline target
         '{{$x | printf "%s"}}',          # UNDECLARED $variable
@@ -1543,6 +1544,28 @@ def test_go_template_reassignment_and_escapers(spark, event_df):
     assert render(
         '{{$x := "init"}}{{if eq .Tag "app-x"}}{{$x = "hit"}}{{end}}{{$x}}'
     ) == ["hit", "init"]
+    # a := re-declaration INSIDE the branch shadows the outer $x: the
+    # inner = mutates the INNER variable and must NOT leak out (self-
+    # review fix; Go renders "o" here, not "m")
+    assert render(
+        '{{$x := "o"}}{{if .Tag}}{{$x := "i"}}{{$x = "m"}}{{end}}{{$x}}'
+    ) == ["o", "o"]
+    assert render(
+        '{{$x := "o"}}{{if .Tag}}{{$x := "i"}}{{$x = "m"}}{{$x}}{{end}}-{{$x}}'
+    ) == ["m-o", "m-o"]
+    # declarations bind eagerly but keep Go's UNDERLYING-value truth:
+    # a var bound to a missing key renders "<no value>" yet stays falsy
+    assert render(
+        "{{$m := .Data.zz}}{{if $m}}T{{else}}F{{end}}/{{$m}}"
+    ) == ["F/<no value>", "F/<no value>"]
+    # declarations evaluate ONCE (each $v binds a built Column, not a
+    # re-parsed expression); self-referencing chains still square the
+    # serialized plan per level (Catalyst expands Column DAGs to trees),
+    # so the depth here stays modest
+    chain = "{{$v0 := .Tag}}" + "".join(
+        f'{{{{$v{i} := printf "%s%s" $v{i-1} $v{i-1}}}}}' for i in range(1, 9)
+    ) + "{{len $v8}}"
+    assert render(chain) == [str(5 * 2**8), str(5 * 2**8)]
     # both branches assign
     assert render(
         "{{$x := .Tag}}"

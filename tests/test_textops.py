@@ -44,6 +44,36 @@ def test_exact_dedup(spark, docs_df):
     assert len(out) == 6
 
 
+def test_subword_unicode_whitespace_parity(spark):
+    # the kernel MUST tokenize with the same ASCII \s class as
+    # words_col/words_sql: Python's unicode-aware \s would split
+    # NBSP/NEL/U+2000.. and hash-mismatch the oracle (self-review fix)
+    import duckdb
+
+    from go_log_forwarder_spark.functions import subword as sw
+
+    corpus = [
+        (1, "ab\u00a0cd ef"),       # NBSP stays INSIDE the word
+        (2, "xx yy\tzz"),            # tab IS a separator (ASCII \s)
+        (3, "ne\x85l u\u2009s"),    # NEL + thin space stay inside
+        (4, " lead trail "),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    vocab = sw.train_vocab(df)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_md5"])
+        for r in sw.encode_docs(df, vocab).collect()
+    }
+    assert got[2][0] == 3  # tab split three ways (ASCII \\s)
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sw.subword_oracle_sql("documents")).fetchall()
+    }
+    assert got == oracle
+
+
 def test_subword_encode_golden(spark):
     # VERDICT r4 item 8: greedy longest-match subword encode over a
     # corpus-derived vocab, pinned against a hand-computed golden AND the
