@@ -103,9 +103,19 @@ def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GREP.apply(_parsed(spark, sf_dir))
 
 
-# SQL mirror of the ingest/parse/keep pipeline. All events.props values are
-# single-key JSON objects {"k": <int>}, so the canonical (Go json.Marshal)
-# text is reconstructable in SQL.
+# SQL mirror of the ingest/parse/keep pipeline. DOCUMENTED INPUT
+# ASSUMPTIONS (self-review round 5) — these hold for the driver's
+# generated testdata by construction and the oracle is only exact under
+# them: (a) every events.props value is a single-key JSON object
+# {"k": <int>} (the canonical Go-json.Marshal text is reconstructed
+# literally; malformed or multi-key props would error/diverge the oracle
+# while the Spark side degrades gracefully); (b) event_id/user_id are
+# non-negative and event_type/tag text contains no newlines or regex
+# metacharacters (the parser_chain oracle derives the winning parser
+# from row parity, the http/tcp oracles keep one line per event, and
+# the bigram decode assumes non-negative token values); (c) value is a
+# finite double (Spark's non-ANSI bigint cast clamps NaN/Inf where
+# DuckDB TRY_CAST would yield NULL).
 _BASE_CTE = f"""
 WITH base AS (
     SELECT event_id,
@@ -1753,17 +1763,21 @@ def oracle_sql() -> dict[str, str]:
                        || upper(event_type) || ' id=' || event_id || ' user=' || user_id AS raw
                 FROM events
             ), parsed AS (
+                -- NULLIF + TRY_CAST: a non-matching NON-corrupt row must
+                -- land in the NULL level group exactly like Spark's
+                -- parsed-NULL (regexp_extract returns '' on no-match, and
+                -- CAST('' AS BIGINT) would error the whole oracle)
                 SELECT CASE WHEN event_id % {REGEX_CORRUPT_MOD} <> 0
-                            THEN regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 1) END AS level,
+                            THEN NULLIF(regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 1), '') END AS level,
                        CASE WHEN event_id % {REGEX_CORRUPT_MOD} <> 0
-                            THEN regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 2) END AS id,
+                            THEN NULLIF(regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 2), '') END AS id,
                        CASE WHEN event_id % {REGEX_CORRUPT_MOD} <> 0
-                            THEN regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 3) END AS user
+                            THEN NULLIF(regexp_extract(raw, '^([A-Z]+) id=([0-9]+) user=([0-9]+)', 3), '') END AS user
                 FROM raws
             )
             SELECT level, COUNT(*)::BIGINT AS n,
-                   SUM(CAST(id AS BIGINT)) AS sum_id,
-                   SUM(CAST(user AS BIGINT)) AS sum_user
+                   SUM(TRY_CAST(id AS BIGINT)) AS sum_id,
+                   SUM(TRY_CAST(user AS BIGINT)) AS sum_user
             FROM parsed GROUP BY level
         """,
         "parser_chain_first_match": f"""
@@ -2033,8 +2047,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ),
             parsed AS (
+                -- the grok INT pattern is SIGNED ([+-]?[0-9]+, grok.py) —
+                -- mirror it, and TRY_CAST so a no-match '' can never
+                -- error the oracle (self-review round 5)
                 SELECT NULLIF(regexp_extract(raw, '({_LOGLEVEL_RE}) id=', 1), '') AS level,
-                       CAST(regexp_extract(raw, ' id=([0-9]+)', 1) AS BIGINT) AS id
+                       TRY_CAST(NULLIF(regexp_extract(raw, ' id=([+-]?[0-9]+)', 1), '') AS BIGINT) AS id
                 FROM raws
             )
             SELECT level, COUNT(*)::BIGINT AS n,

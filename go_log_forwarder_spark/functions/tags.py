@@ -119,11 +119,15 @@ def compile_tag_pattern(match: str) -> CompiledTagPattern:
         if match.endswith("*"):
             return CompiledTagPattern(match, "prefix", core)
         return CompiledTagPattern(match, "suffix", core)
-    # multi-wildcard: anchored regex ^a.*b.*c$
+    # multi-wildcard: anchored regex \Aa.*b.*c\z — \A/\z, not ^/$: Java's
+    # default $ also matches just before a trailing newline while RE2/Go's
+    # (no multiline) does not, so a tag ending in '\n' would route on
+    # Spark but not in Go or the DuckDB oracle (self-review round 5);
+    # \A/\z are absolute in Java AND RE2, keeping all three engines exact
     regex = "".join(".*" if ch == "*" else re.escape(ch) for ch in match)
     # collapse runs of '.*' produced by '**'
     regex = re.sub(r"(\.\*)+", ".*", regex)
-    return CompiledTagPattern(match, "regex", "^" + regex + "$")
+    return CompiledTagPattern(match, "regex", "\\A" + regex + "\\z")
 
 
 def tag_match_col(tag: Column, match: str) -> Column:

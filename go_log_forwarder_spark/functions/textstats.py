@@ -162,15 +162,20 @@ def doc_freq_score_sql(table: str, text_col: str = "text", id_col: str = "doc_id
 
 
 def words_col(text: Column) -> Column:
-    """Whitespace tokenization (empty-safe)."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization (empty-safe). The separator class is
+    EXPLICIT, not ``\\s``: Java's \\s includes \\x0B where RE2's does not
+    — text containing a vertical tab would tokenize differently between
+    the Spark query and its DuckDB oracle (self-review round 5)."""
+    return F.split(F.trim(text), "[ \\t\\n\\x0B\\f\\r]+")
 
 
 def words_sql(text_expr: str) -> str:
     # trim(x, ' ') NOT trim(x): DuckDB's default trim strips unicode
     # spaces (NBSP etc.) while Spark's F.trim strips 0x20 only — an
-    # edge-NBSP corpus would diverge (self-review round 5)
-    return f"regexp_split_to_array(trim({text_expr}, ' '), '\\s+')"
+    # edge-NBSP corpus would diverge (self-review round 5). The explicit
+    # separator class mirrors words_col (\v = \x0B in RE2; RE2's \s
+    # lacks it while Java's \s has it).
+    return f"regexp_split_to_array(trim({text_expr}, ' '), '[ \\t\\n\\v\\f\\r]+')"
 
 
 def micro_col(x: Column) -> Column:

@@ -79,14 +79,22 @@ def _source_sql(i_expr: str) -> str:
 
 
 def tokens_cols(i: Column, max_len: int = 128) -> list[Column]:
-    """The four graft columns derived from a BIGINT row index ``i``."""
+    """The four graft columns derived from a BIGINT row index ``i``.
+
+    A NEGATIVE index makes n_tok <= 0 (both engines' % keeps the dividend
+    sign); Spark's sequence(1, n) would then DESCEND while DuckDB's
+    generate_series(1, n) is empty — guard to the empty array so both
+    engines agree (self-review round 5)."""
     n_tok = (F.lit(1) + ((i % M) * 48271 + 11) % M % max_len).cast("int")
     tok = lambda j: (  # noqa: E731
         (((i % M) * 48271 + j * 16807 + 13) % M * 48271) % M % MAX_TOKEN
     ).cast("int")
+    toks = F.when(
+        n_tok >= 1, F.transform(F.sequence(F.lit(1), n_tok), tok)
+    ).otherwise(F.array().cast("array<int>"))
     return [
         F.concat(F.lit("doc-"), F.lpad(i.cast("string"), 12, "0")).alias("doc_id"),
-        F.transform(F.sequence(F.lit(1), n_tok), tok).alias("tokens"),
+        toks.alias("tokens"),
         n_tok.alias("n_tok"),
         _source_col(i).alias("source"),
     ]
