@@ -452,55 +452,93 @@ def q_text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.doc_freq_score(_documents(spark, sf_dir))
 
 
-def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring (span-level) dedup — VERDICT r4 item 1, the Lee et
-    al. 2021 repeated-substring mode — in ONE gated relation (late-round-5
-    merge, simhash-style): kind='span' rows are the maximal per-doc word
-    spans covered by any 5-gram occurring >= 2 times anywhere in the
-    corpus (v1..v4 = span_start, span_end, span_len, n_shingles — the
-    former row, hash-green all round; half the corpus now flows through
-    the INCREMENTAL snapshot-store index, see the inline comment);
-    kind='clean' rows are the APPLY
-    half (remove_repeated_spans): every covered word dropped via a pure
-    Catalyst two-arg HOF filter + EXISTS over the doc's collected span
-    array (v1 = n_kept, v2 = n_removed, v3 = hex60 of the cleaned text —
-    pins every surviving word and its order, v4 = 0). Distributed shape:
-    shingle positions (map-side) -> fingerprint-partitioned groupBy index
-    -> semi-join back -> per-doc islands window; the cleaner re-joins the
-    tiny span relation, the corpus text is never exploded. Its roster
-    slot comes from folding the former dedup_exact row into
-    tokens_dedup_exact (both hash-green r1-r4)."""
-    docs = _documents(spark, sf_dir)
-    # kind='span' rows DRIVE the incremental index (minhash_lsh-style,
-    # late round 5): the corpus arrives as two batches whose (h, n_occ)
-    # count partials append to a persisted snapshot-store index; after
-    # batch 2 commits, the global counts equal the full corpus, so batch
-    # 2's spans off the incremental read == the full recompute restricted
-    # to batch 2 (span membership depends only on a shingle's global
-    # count) — batch 1's spans come from the full recompute, and the
-    # UNCHANGED full-corpus oracle pins the equality. History reaches the
-    # plan as snap= FileScans of count partials, never re-shingled.
+_SPAN_BUILD_CACHE: dict[str, str] = {}
+# cold-phase wall seconds per index-driving query, keyed by query name —
+# bench.py copies this into BENCH_DETAIL.json so index-I/O cost is recorded
+# separately from engine time (VERDICT r5 item 7)
+PHASE_TIMES: dict[str, dict[str, float]] = {}
+
+
+def _span_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """Cold phase of q_dedup_substring_spans, built ONCE per sf_dir (ADVICE
+    r5: bench reps must time the engine, not re-pay mkdtemp + two snapshot
+    appends + a parquet roundtrip on every rep — and each rep's leaked temp
+    dir lived until interpreter exit). Runs the two-batch incremental-index
+    demo writes and materializes the shared full-spans relation; the wall
+    time is recorded in PHASE_TIMES for BENCH_DETAIL. Returns the temp dir.
+
+    kind='span' rows DRIVE the incremental index (minhash_lsh-style, late
+    round 5): the corpus arrives as two batches whose (h, n_occ) count
+    partials append to a persisted snapshot-store index; after batch 2
+    commits, the global counts equal the full corpus, so batch 2's spans
+    off the incremental read == the full recompute restricted to batch 2
+    (span membership depends only on a shingle's global count) — batch 1's
+    spans come from the full recompute, and the UNCHANGED full-corpus
+    oracle pins the equality. History reaches the plan as snap= FileScans
+    of count partials, never re-shingled."""
+    if sf_dir in _SPAN_BUILD_CACHE:
+        return _SPAN_BUILD_CACHE[sf_dir]
     import atexit
     import shutil
     import tempfile
+    import time
 
     from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
 
-    history = docs.filter(F.col("doc_id") % 10 != 1)
-    batch2 = docs.filter(F.col("doc_id") % 10 == 1)
+    docs = _documents(spark, sf_dir)
+    t0 = time.perf_counter()
     tmp = tempfile.mkdtemp(prefix="glfs_span_idx_")
+    atexit.register(shutil.rmtree, tmp, True)
     store = ParquetSnapshotStore(tmp)
-    dd.span_index_increment(store, history)
-    dd.span_index_increment(store, batch2)
-    inc2 = dd.span_incremental_spans(spark, store, batch2)
+    dd.span_index_increment(store, docs.filter(F.col("doc_id") % 10 != 1))
+    dd.span_index_increment(store, docs.filter(F.col("doc_id") % 10 == 1))
     # materialize the shared full-spans relation to the SAME temp dir
     # (not .persist(): a cached relation would pin executor storage for
     # the rest of the 50-query driver run with nothing to unpersist it)
-    spans_path = os.path.join(tmp, "spans_full")
-    dd.substring_spans(docs).write.parquet(spans_path)
-    spans_full = spark.read.parquet(spans_path)
+    dd.substring_spans(docs).write.parquet(os.path.join(tmp, "spans_full"))
+    PHASE_TIMES["dedup_substring_spans"] = {
+        "index_build_io_sec": round(time.perf_counter() - t0, 4)
+    }
+    _SPAN_BUILD_CACHE[sf_dir] = tmp
+    return tmp
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span-level) dedup — VERDICT r4 item 1, the Lee et
+    al. 2021 repeated-substring mode — in ONE gated relation (late-round-5
+    merge, simhash-style), round 6 adding the TOKEN-SEQUENCE variant the
+    paper actually defines (VERDICT r5 item 1) over the graft's own input
+    table. Four row kinds:
+
+    - kind='span': maximal per-doc WORD spans of the documents corpus
+      covered by any 5-gram occurring >= 2 times anywhere (v1..v4 =
+      span_start, span_end, span_len, n_shingles); half the corpus flows
+      through the INCREMENTAL snapshot-store index (see _span_index_build).
+    - kind='clean': the APPLY half (remove_repeated_spans): every covered
+      word dropped via a pure Catalyst two-arg HOF filter + EXISTS over the
+      doc's collected span array (v1 = n_kept, v2 = n_removed, v3 = hex60
+      of the cleaned text — pins every surviving word and its order).
+    - kind='tok_span': the same find over the TOKENS table's int arrays
+      (token_substring_spans; doc_id = the numeric doc suffix) — the
+      synthetic LCG corpus genuinely repeats 5-grams across shifted
+      sequences, so the span relation is non-trivial at every sf.
+    - kind='tok_clean': the token APPLY (v3 = hex60 of the surviving token
+      ids joined with ',' — pins every kept token and its order).
+
+    Distributed shape: shingle positions (map-side) -> fingerprint-
+    partitioned groupBy index -> semi-join back -> per-doc islands window;
+    the cleaners re-join the tiny span relations, and neither corpus text
+    nor token arrays are ever exploded."""
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    docs = _documents(spark, sf_dir)
+    tmp = _span_index_build(spark, sf_dir)
+    store = ParquetSnapshotStore(tmp)
+    inc2 = dd.span_incremental_spans(
+        spark, store, docs.filter(F.col("doc_id") % 10 == 1)
+    )
+    spans_full = spark.read.parquet(os.path.join(tmp, "spans_full"))
     full1 = spans_full.filter(F.col("doc_id") % 10 != 1)
-    atexit.register(shutil.rmtree, tmp, True)
     spans = full1.unionByName(inc2).select(
         F.lit("span").alias("kind"),
         "doc_id",
@@ -517,7 +555,31 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.hex60_col(F.col("clean_text")).alias("v3"),
         F.lit(0).cast("bigint").alias("v4"),
     )
-    return spans.unionByName(clean)
+    toks = tokens_from_events(spark, sf_dir).select(
+        F.substring("doc_id", 5, 12).cast("bigint").alias("doc_id"), "tokens"
+    )
+    tok_spans = dd.token_substring_spans(toks)
+    tok_span_rows = tok_spans.select(
+        F.lit("tok_span").alias("kind"),
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("v1"),
+        F.col("span_end").cast("bigint").alias("v2"),
+        F.col("span_len").cast("bigint").alias("v3"),
+        F.col("n_shingles").cast("bigint").alias("v4"),
+    )
+    tok_clean = dd.remove_repeated_token_spans(toks, spans=tok_spans).select(
+        F.lit("tok_clean").alias("kind"),
+        "doc_id",
+        F.col("n_kept").alias("v1"),
+        F.col("n_removed").alias("v2"),
+        ts.hex60_col(
+            F.array_join(
+                F.transform(F.col("clean_tokens"), lambda t: t.cast("string")), ","
+            )
+        ).alias("v3"),
+        F.lit(0).cast("bigint").alias("v4"),
+    )
+    return spans.unionByName(clean).unionByName(tok_span_rows).unionByName(tok_clean)
 
 
 JACCARD_THRESHOLD = 0.5
@@ -1839,8 +1901,15 @@ def oracle_sql() -> dict[str, str]:
             "documents", f"doc_id % {DECON_BENCH_MOD} = 0"
         ),
         "dedup_substring_spans": f"""
-            WITH spans_shared AS MATERIALIZED (
+            WITH toks AS ({tokens_oracle_sql("event_id", "events")}),
+            tok_docs AS (
+                SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, tokens FROM toks
+            ),
+            spans_shared AS MATERIALIZED (
                 {dd.substring_spans_sql("documents")}
+            ),
+            tok_spans_shared AS MATERIALIZED (
+                {dd.token_substring_spans_sql("tok_docs")}
             )
             SELECT 'span' AS kind, doc_id,
                    CAST(span_start AS BIGINT) AS v1,
@@ -1854,6 +1923,19 @@ def oracle_sql() -> dict[str, str]:
                    {ts.hex60_sql("clean_text")} AS v3,
                    CAST(0 AS BIGINT) AS v4
             FROM ({dd.remove_spans_sql("documents", spans_rel="spans_shared")})
+            UNION ALL
+            SELECT 'tok_span' AS kind, doc_id,
+                   CAST(span_start AS BIGINT) AS v1,
+                   CAST(span_end AS BIGINT) AS v2,
+                   CAST(span_len AS BIGINT) AS v3,
+                   CAST(n_shingles AS BIGINT) AS v4
+            FROM tok_spans_shared
+            UNION ALL
+            SELECT 'tok_clean' AS kind, doc_id,
+                   n_kept AS v1, n_removed AS v2,
+                   {ts.hex60_sql("clean_str")} AS v3,
+                   CAST(0 AS BIGINT) AS v4
+            FROM ({dd.remove_token_spans_sql("tok_docs", spans_rel="tok_spans_shared")})
         """,
         "dedup_jaccard_pairs": _minhash_lsh_oracle_sql(JACCARD_PAIRS_THRESHOLD),
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),

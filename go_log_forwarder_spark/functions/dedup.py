@@ -587,7 +587,15 @@ def substring_spans(
     output spans are exactly the maximal unions of covered words.
     Returns (doc_id, span_start, span_end, span_len, n_shingles) with
     1-based inclusive word indexes."""
-    sp = shingle_positions(df, n, text_col, id_col)
+    return _global_dup_spans(shingle_positions(df, n, text_col, id_col), n)
+
+
+def _global_dup_spans(sp: DataFrame, n: int) -> DataFrame:
+    """Steps 2-4 of the span-dedup shape over a (id, pos, h) shingle
+    relation: the fingerprint-partitioned >= 2 count index, the semi-join
+    back, and the per-document islands merge — shared by the word
+    (:func:`substring_spans`) and token (:func:`token_substring_spans`)
+    variants, which differ only in how shingles are produced."""
     dup_h = (
         sp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -595,6 +603,77 @@ def substring_spans(
         .select("h")
     )
     return _spans_from_dup_positions(sp.join(dup_h, "h", "left_semi"), n)
+
+
+def token_shingle_positions(
+    df: DataFrame, n: int = SPAN_NGRAM, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, h): hex60 hash of each token ``n``-gram with its 1-based
+    start position — the tokens-native sibling of :func:`shingle_positions`
+    (VERDICT r5 item 1: Lee et al. span dedup is defined over token
+    sequences, and the graft input is ``(doc_id, tokens array<int>)``).
+    Tokens render as their decimal strings before hashing so the DuckDB
+    oracle reproduces every hash bit-for-bit. Map-side only."""
+    strs = F.transform(F.col(tokens_col), lambda t: t.cast("string"))
+    with_t = df.select(F.col(id_col).alias("id"), strs.alias("_ts"))
+    grams = F.when(
+        F.size(F.col("_ts")) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_ts")) - n + 1),
+            lambda i: hex60_col(F.array_join(F.slice(F.col("_ts"), i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return with_t.select("id", F.posexplode(grams).alias("pos0", "h")).select(
+        "id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"
+    )
+
+
+def token_substring_spans(
+    df: DataFrame, n: int = SPAN_NGRAM, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Span-level exact-substring dedup over TOKEN SEQUENCES — the form Lee
+    et al. 2021 actually define (their suffix array is built over the
+    tokenized corpus), run on the graft's own input table. Same distributed
+    shape as :func:`substring_spans` (map-side shingles, ONE partial-agg
+    shuffle of hashes, semi-join back, per-doc islands window); returns
+    (doc_id, span_start, span_end, span_len, n_shingles) with 1-based
+    inclusive TOKEN indexes."""
+    return _global_dup_spans(token_shingle_positions(df, n, tokens_col, id_col), n)
+
+
+def remove_repeated_token_spans(
+    df: DataFrame, n: int = SPAN_NGRAM, tokens_col: str = "tokens",
+    id_col: str = "doc_id", spans: DataFrame | None = None,
+) -> DataFrame:
+    """APPLY half of token-level span dedup: drop every token covered by a
+    repeated-substring span. Same Catalyst-HOF shape as
+    :func:`remove_repeated_spans` (tiny span relation collected per doc and
+    left-joined back; the token arrays are never exploded and never cross a
+    shuffle). Returns (doc_id, clean_tokens array<int>, n_kept, n_removed)
+    for EVERY input document."""
+    if spans is None:
+        spans = token_substring_spans(df, n, tokens_col, id_col)
+    span_t = "array<struct<span_start:bigint,span_end:bigint>>"
+    sp_agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_ts"))
+    joined = docs.join(sp_agg, "doc_id", "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array().cast(span_t))
+    )
+    kept = F.filter(
+        F.col("_ts"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        kept.alias("clean_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size("_ts") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
 
 
 def _spans_from_dup_positions(dup_pos: DataFrame, n: int) -> DataFrame:
@@ -636,9 +715,24 @@ def _spans_from_dup_positions(dup_pos: DataFrame, n: int) -> DataFrame:
 def substring_spans_sql(
     table: str, n: int = SPAN_NGRAM, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
-    """DuckDB twin of :func:`substring_spans` (same hashes, same islands).
+    """DuckDB twin of :func:`substring_spans` (same hashes, same islands)."""
+    return _spans_sql(table, words_sql(text_col), n, id_col)
+
+
+def token_substring_spans_sql(
+    table: str, n: int = SPAN_NGRAM, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`token_substring_spans`: same body, shingles
+    drawn from the decimal-rendered token array instead of words."""
+    return _spans_sql(
+        table, f"list_transform({tokens_col}, x -> CAST(x AS VARCHAR))", n, id_col
+    )
+
+
+def _spans_sql(table: str, w_expr: str, n: int, id_col: str) -> str:
+    """Shared span-find SQL body over any string-array expression ``w_expr``.
     NB the two unnests in ``sp`` zip positionally (DuckDB semantics)."""
-    ws = words_sql(text_col)
+    ws = w_expr
     gram = hex60_sql(f"array_to_string(w[i : i + {n - 1}], ' ')")
     return f"""
         WITH sp AS (
@@ -799,6 +893,39 @@ def remove_spans_sql(
         docs AS (SELECT {id_col} AS doc_id, {ws} AS w FROM {table})
         SELECT doc_id,
                COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(n_words - len(kept) AS BIGINT) AS n_removed
+        FROM (
+            SELECT d.doc_id, len(d.w) AS n_words, {keep} AS kept
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+        ) t
+    """
+
+
+def remove_token_spans_sql(
+    table: str, n: int = SPAN_NGRAM, tokens_col: str = "tokens",
+    id_col: str = "doc_id", spans_rel: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`remove_repeated_token_spans`. Emits the kept
+    tokens pre-joined as ``clean_str`` (comma-separated decimal, the same
+    canonical text the gate hashes — a raw INTEGER[] cell is unsortable in
+    the driver's pandas canonicalizer, same reason tokens_roundtrip digests
+    its arrays)."""
+    keep = (
+        "[ d.w[i] FOR i IN generate_series(1, len(d.w)) "
+        "IF len(list_filter(COALESCE(a.spans, CAST([] AS BIGINT[][])), "
+        "s -> i >= s[1] AND i <= s[2])) = 0 ]"
+    )
+    spans_src = spans_rel or f"({token_substring_spans_sql(table, n, tokens_col, id_col)})"
+    return f"""
+        WITH tok_spans_rel AS (SELECT * FROM {spans_src}),
+        agg AS (
+            SELECT doc_id, list([span_start, span_end]) AS spans
+            FROM tok_spans_rel GROUP BY doc_id
+        ),
+        docs AS (SELECT {id_col} AS doc_id, {tokens_col} AS w FROM {table})
+        SELECT doc_id,
+               COALESCE(array_to_string(kept, ','), '') AS clean_str,
                CAST(len(kept) AS BIGINT) AS n_kept,
                CAST(n_words - len(kept) AS BIGINT) AS n_removed
         FROM (

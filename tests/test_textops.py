@@ -255,6 +255,65 @@ def test_remove_repeated_spans_golden_and_oracle(spark):
     assert oracle == got
 
 
+def test_token_substring_spans_golden_and_oracle(spark):
+    # VERDICT r5 item 1: the span family over TOKEN SEQUENCES (the form Lee
+    # et al. define — their suffix array is over the tokenized corpus).
+    # Same golden geometry as the word test: inter-doc repeat, intra-doc
+    # merge at gap == n, two far-apart spans, a span-free doc.
+    import duckdb
+
+    corpus = [
+        (1, [1, 2, 3, 4, 5, 6]),
+        (2, [9, 9, 1, 2, 3, 4, 7]),
+        (3, [5, 6, 7, 8, 5, 6, 7, 8]),
+        (4, [1, 2, 3, 50, 51, 52, 53, 1, 2, 3]),
+        (5, [100, 101, 102, 103, 104]),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, tokens array<int>")
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_len"], r["n_shingles"])
+        for r in dd.token_substring_spans(df, n=3).collect()
+    }
+    assert got == {
+        (1, 1): (4, 4, 2),
+        (2, 3): (6, 4, 2),
+        (3, 1): (8, 8, 4),
+        (4, 1): (3, 3, 1),
+        (4, 8): (10, 3, 1),
+    }
+
+    con = duckdb.connect()
+    con.register("tok_docs", df.toPandas())
+    oracle = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(dd.token_substring_spans_sql("tok_docs", n=3)).fetchall()
+    }
+    assert oracle == got
+
+    # APPLY half: covered tokens drop, survivors keep order, span-free
+    # docs pass through; DuckDB twin agrees (its clean_str is the same
+    # canonical comma-joined text the gate hashes)
+    clean = {
+        r["doc_id"]: (r["clean_tokens"], r["n_kept"], r["n_removed"])
+        for r in dd.remove_repeated_token_spans(df, n=3).collect()
+    }
+    assert clean == {
+        1: ([5, 6], 2, 4),
+        2: ([9, 9, 7], 3, 4),
+        3: ([], 0, 8),
+        4: ([50, 51, 52, 53], 4, 6),
+        5: ([100, 101, 102, 103, 104], 5, 0),
+    }
+    oracle_clean = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(dd.remove_token_spans_sql("tok_docs", n=3)).fetchall()
+    }
+    assert oracle_clean == {
+        d: (",".join(str(t) for t in toks), k, rm)
+        for d, (toks, k, rm) in clean.items()
+    }
+
+
 def test_jaccard_pairs_golden(spark, docs_df):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard_micro"]
