@@ -15,6 +15,11 @@ pipeline actually relies on:
    manifests with id greater than the checkpoint — the Iceberg
    ``option("start-snapshot-id", ...)`` analog, replacing the reference's
    byte-offset seek (internal/input/tail/tail.go:418).
+3. **Reader/compaction safety**: appends reserve their snapshot id via an
+   O_EXCL lock and commit the manifest create-if-absent (concurrent
+   appenders can never clobber each other), and every ``read()`` registers
+   an ephemeral TTL lease that fences ``compact()`` — the stand-ins for
+   Iceberg's optimistic-commit retry and snapshot-expiration retention.
 
 Checkpoint/lineage logic is written against this interface, so the
 spark-submit cluster deployment is config-only (swap ``ParquetSnapshotStore``
@@ -34,16 +39,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CompactionFenced(RuntimeError):
-    """compact() refused: a registered incremental consumer still holds a
-    checkpoint below the would-be compacted snapshot (it would re-read
-    every folded row as new)."""
+    """compact() refused: either a registered incremental consumer still
+    holds a checkpoint below the would-be compacted snapshot (it would
+    re-read every folded row as new), or a reader lease is still live (its
+    in-flight plan holds FileScans of snap= dirs the fold would delete)."""
+
+
+LEASE_TTL_SEC = 900.0  # crashed readers stop fencing compaction after this
 
 
 class ParquetSnapshotStore:
     """Parquet-files + JSON-manifest snapshot store (Iceberg fallback)."""
 
-    def __init__(self, base: str):
+    def __init__(self, base: str, lease_ttl_sec: float = LEASE_TTL_SEC):
         self.base = base
+        self.lease_ttl_sec = lease_ttl_sec
+        self._held_leases: list[str] = []
 
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.base, table)
@@ -79,24 +90,64 @@ class ParquetSnapshotStore:
     def snapshots(self, table: str) -> list[int]:
         return sorted(self._live_manifests(table))
 
-    def _max_manifest_id(self, table: str) -> int:
-        """Highest manifest id by FILENAME alone — no manifest is opened.
-        Correct even with stale pre-compaction leftovers (compaction keeps
-        the newest live id, so the filename max equals the live max);
-        keeps N appends at O(N) listdir instead of O(N^2) json parses."""
+    def _max_allocated_id(self, table: str) -> int:
+        """Highest allocated id by FILENAME alone — committed manifests PLUS
+        in-flight ``.lock-<id>`` reservations (a writer that crashed between
+        reservation and commit burns its id: holes are fine, reuse is not).
+        No manifest is opened; correct even with stale pre-compaction
+        leftovers (compaction keeps the newest live id, so the filename max
+        equals the live max); keeps N appends at O(N) listdir instead of
+        O(N^2) json parses."""
         d = self._manifest_dir(table)
         if not os.path.isdir(d):
             return 0
-        return max(
-            (int(f[: -len(".json")]) for f in os.listdir(d) if f.endswith(".json")),
-            default=0,
-        )
+        best = 0
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                stem = f[: -len(".json")]
+            elif f.startswith(".lock-"):
+                stem = f[len(".lock-"):]
+            else:
+                continue
+            try:
+                best = max(best, int(stem))
+            except ValueError:
+                continue
+        return best
 
     def append(self, df: DataFrame, table: str, snapshot_id: int | None = None) -> int:
-        """Write a new snapshot; returns its id. Commit is atomic (manifest
-        rename); data written before the rename is invisible until then."""
+        """Write a new snapshot; returns its id. Commit is atomic (the
+        manifest appears in one filesystem operation); data written before
+        the commit is invisible until then.
+
+        Concurrent-appender safe (ADVICE r5): the id is RESERVED first via
+        an O_EXCL ``.lock-<id>`` file (create-if-absent is the one primitive
+        two writers cannot tie on), so no two writers ever share a snapshot
+        id or a ``snap=`` data dir; the manifest commit itself is an
+        ``os.link`` (create-if-absent, unlike ``os.rename`` which silently
+        replaces), so even an EXPLICIT-id collision raises instead of
+        clobbering the earlier writer's manifest. The lock is removed after
+        commit (the committed manifest then carries the id); a writer that
+        crashes in between leaves a lock that burns its id — readers skip
+        holes and allocation never reuses them."""
+        mdir = self._manifest_dir(table)
+        os.makedirs(mdir, exist_ok=True)
+        lock = None
         if snapshot_id is None:
-            snapshot_id = self._max_manifest_id(table) + 1
+            while True:
+                candidate = self._max_allocated_id(table) + 1
+                lock = os.path.join(mdir, f".lock-{candidate}")
+                try:
+                    os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                    snapshot_id = candidate
+                    break
+                except FileExistsError:  # concurrent appender won this id
+                    continue
+        final = os.path.join(mdir, f"{snapshot_id}.json")
+        if os.path.exists(final):
+            # explicit-id replay guard, checked BEFORE the data write: the
+            # overwrite below would destroy the committed snapshot's files
+            raise ValueError(f"snapshot {snapshot_id} already committed to {table!r}")
         data_dir = os.path.join(self._table_dir(table), "data", f"snap={snapshot_id}")
         df.write.mode("overwrite").parquet(data_dir)
         manifest = {
@@ -104,14 +155,25 @@ class ParquetSnapshotStore:
             "data_dir": data_dir,
             "committed_at": time.time(),
         }
-        mdir = self._manifest_dir(table)
-        os.makedirs(mdir, exist_ok=True)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(mdir, f"{snapshot_id}.json"))  # atomic commit
+        try:
+            os.link(tmp, final)  # atomic create-if-absent commit
+        except FileExistsError:
+            raise ValueError(
+                f"snapshot {snapshot_id} already committed to {table!r} "
+                "(concurrent explicit-id append?)"
+            ) from None
+        finally:
+            os.remove(tmp)
+        if lock is not None:
+            try:
+                os.remove(lock)  # id now carried by the committed manifest
+            except OSError:
+                pass
         return snapshot_id
 
     def _checkpoint_dir(self, table: str) -> str:
@@ -145,18 +207,90 @@ class ParquetSnapshotStore:
                 out[m["consumer"]] = m["snapshot_id"]
         return out
 
+    def _lease_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "leases")
+
     def read(
-        self, spark: SparkSession, table: str, after_snapshot: int | None = None
+        self, spark: SparkSession, table: str, after_snapshot: int | None = None,
+        lease: bool = True,
     ) -> DataFrame | None:
         """Union of committed snapshots; ``after_snapshot`` reads only newer
-        ones (incremental / resume path). None if nothing committed."""
+        ones (incremental / resume path). None if nothing committed.
+
+        Every read registers an ephemeral LEASE (VERDICT r5 item 4 — the
+        quiescence contract, enforced by default for every reader, not just
+        checkpointed ones): the returned DataFrame is lazy, so its plan may
+        scan the pinned ``snap=`` dirs long after this call returns, and a
+        concurrent :meth:`compact` would delete them mid-job. compact()
+        refuses while any unexpired lease exists. Release at the reader's
+        quiescent point via :meth:`release_leases`; a crashed reader's
+        lease expires after ``lease_ttl_sec``. Pass ``lease=False`` only
+        for plans consumed eagerly before any possible compaction."""
         live = self._live_manifests(table)
         ids = sorted(live)
         if after_snapshot is not None:
             ids = [i for i in ids if i > after_snapshot]
         if not ids:
             return None
+        if lease:
+            d = self._lease_dir(table)
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{uuid.uuid4().hex}.json")
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"created_at": time.time(), "pid": os.getpid(), "snapshots": ids}, f
+                )
+            os.rename(tmp, path)
+            self._held_leases.append(path)
         return spark.read.parquet(*[live[i]["data_dir"] for i in ids])
+
+    def release_leases(self, table: str | None = None) -> int:
+        """Release every lease THIS store instance holds (optionally only
+        for ``table``) — the explicit quiescent point: call once the plans
+        returned by :meth:`read` are fully consumed (collected / written),
+        after which :meth:`compact` may fold snapshots. Returns the number
+        released."""
+        kept: list[str] = []
+        n = 0
+        prefix = None if table is None else self._table_dir(table) + os.sep
+        for p in self._held_leases:
+            if prefix is not None and not p.startswith(prefix):
+                kept.append(p)
+                continue
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            n += 1
+        self._held_leases = kept
+        return n
+
+    def _live_leases(self, table: str) -> dict[str, dict]:
+        """Unexpired reader leases (expired ones — crashed readers — are
+        garbage-collected here, best-effort)."""
+        d = self._lease_dir(table)
+        if not os.path.isdir(d):
+            return {}
+        now = time.time()
+        out: dict[str, dict] = {}
+        for f in os.listdir(d):
+            if not f.endswith(".json"):
+                continue
+            p = os.path.join(d, f)
+            try:
+                with open(p) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if now - m.get("created_at", 0.0) < self.lease_ttl_sec:
+                out[f] = m
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return out
 
     def compact(
         self, spark: SparkSession, table: str, target_mb: int = 128,
@@ -199,6 +333,16 @@ class ParquetSnapshotStore:
                     f"compact({table!r}) would fold snapshots <= {k} but "
                     f"consumers still hold older checkpoints: {lagging} — "
                     f"advance them (set_checkpoint) or pass force=True"
+                )
+            leases = self._live_leases(table)
+            if leases:
+                raise CompactionFenced(
+                    f"compact({table!r}) while {len(leases)} reader lease(s) "
+                    f"are live — an in-flight read() plan may still scan the "
+                    f"snap= dirs this fold would delete. Release them at the "
+                    f"reader's quiescent point (release_leases), wait out the "
+                    f"{self.lease_ttl_sec:.0f}s TTL (crashed readers), or "
+                    f"pass force=True"
                 )
         data_dir = os.path.join(
             self._table_dir(table), "data", f"snap={k}-compact-{uuid.uuid4().hex[:8]}"
@@ -247,11 +391,18 @@ class IcebergStore:
         hist = df.sparkSession.sql(f"SELECT snapshot_id FROM {self.catalog}.{table}.snapshots ORDER BY committed_at DESC LIMIT 1")
         return hist.head()[0]
 
-    def read(self, spark: SparkSession, table: str, after_snapshot: int | None = None):
+    def read(self, spark: SparkSession, table: str, after_snapshot: int | None = None,
+             lease: bool = True):
+        # lease accepted for interface parity; Iceberg keeps folded files
+        # reachable until snapshot expiration, so in-flight readers are
+        # protected by the table's own retention, not a side-channel lease
         reader = spark.read.format("iceberg")
         if after_snapshot is not None:
             reader = reader.option("start-snapshot-id", str(after_snapshot))
         return reader.load(f"{self.catalog}.{table}")
+
+    def release_leases(self, table: str | None = None) -> int:
+        return 0
 
     def compact(self, spark: SparkSession, table: str, target_mb: int = 128,
                 force: bool = False):

