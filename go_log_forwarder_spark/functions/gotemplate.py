@@ -77,14 +77,26 @@ Catalyst (one projection, no Python in the hot path):
   join (``F.when(cond, then_value).otherwise(prior)``). Assignment to an
   enclosing-scope variable inside ``range`` is loop-carried state (each
   iteration needs the last one's value) and stays a loud build error.
+  Round 6 (ADVICE r5): assignments carry Go's UNDERLYING-value truth —
+  an eagerly-built truth Column rides the binding (and phi-merges at
+  branch joins), so ``{{if $x}}`` after ``{{$x = .Data.missing}}`` is
+  falsy exactly like the ``:=`` path's (node, dot, env) tail.
+
+- ``$x.key`` field access (round 6 — VERDICT r5 item 6): single-level
+  map index through a variable whose DECLARATION chain bottoms out at
+  ``.Data`` (``{{$d := .Data}}{{$d.a}}``, var-of-var decls followed) —
+  renders like ``.Data.key``, keeps underlying truth, valid as a call
+  argument or ``with`` target. Access through any other binding (a
+  string var, a ``=``-reassigned var — its tail keeps truth, not the
+  bound node) is a loud build error where Go resolves dynamically.
 
 - ``html`` / ``urlquery`` escapers (late round 5): template.HTMLEscape's
   exact entity set via chained ``F.replace``; url.QueryEscape via
   ``F.url_encode`` plus the two-byte Java↔Go delta ('*' and '~').
   ``printf %x`` (string form) compiles to ``lower(hex(col))``.
 
-Anything else (other functions — slice, call, printf %f —
-``$x.field`` access, range over non-``.Data``) raises ``ValueError`` at
+Anything else (other functions — slice, call, printf %f — multi-level
+``$x.a.b`` paths, range over non-``.Data``) raises ``ValueError`` at
 build time — loud beats silently-wrong output.
 """
 
@@ -230,9 +242,12 @@ class _Call(_Node):
 
 @dataclass
 class _VarRef(_Node):
-    """``$name`` — reference to a declared template variable."""
+    """``$name`` — reference to a declared template variable; ``$name.key``
+    (path set) indexes the map the variable is bound to, per Go field
+    access on a variable."""
 
     name: str
+    path: str | None = None
 
 
 @dataclass
@@ -254,7 +269,7 @@ class _VarDecl(_Node):
     value: _Node
 
 
-_VARNAME = re.compile(r"^\$(\w+)$")
+_VARNAME = re.compile(r"^\$(\w+)(?:\.(\w+))?$")
 _VARDECL = re.compile(r"^\$(\w+)\s*(:=|=)\s*(.+)$", re.S)
 _RANGE_VARS = re.compile(r"^\$(\w+)\s*(?:,\s*\$(\w+)\s*)?:=\s*(.+)$", re.S)
 _INT = re.compile(r"^-?\d+$")
@@ -275,9 +290,10 @@ def _parse_field(expr: str, template: str) -> _Field | _Dot | _VarRef:
         if not m:
             raise ValueError(
                 f"unsupported template expression {expr!r} in {template!r}"
-                " (only bare $name variable references are compilable)"
+                " (only $name and single-level $name.key variable"
+                " references are compilable)"
             )
-        return _VarRef(m.group(1))
+        return _VarRef(m.group(1), m.group(2))
     m = _FIELD.match(expr)
     if not m or m.group(1) not in ("Timestamp", "Tag", "Data"):
         raise ValueError(f"unsupported template expression {expr!r} in {template!r}")
@@ -588,19 +604,58 @@ def compile_go_template(
     # nil/falsy even though it RENDERS "<no value>") and resolves var
     # refs against stored columns, so truth re-evaluation stays depth-1.
 
+    def binding_truth(binding) -> Column:
+        """Go truth of a variable binding's UNDERLYING value: a var bound
+        to a missing .Data.key is nil (falsy) even though it RENDERS
+        "<no value>". The tail is either the declaration's (node, dot, env)
+        triple (``:=``) or an eagerly-built truth Column (``=`` assignment
+        / phi-merge — ADVICE r5: reassignment used to drop the tail, so
+        ``{{if $x}}`` after ``{{$x = .Data.missing}}`` compared the
+        coalesced rendering and came out TRUE where Go's nil is falsy)."""
+        if len(binding) > 3:
+            tail = binding[3]
+            if isinstance(tail, Column):
+                return tail
+            node, ddot, denv = tail
+            return node_truthy(node, ddot, denv)
+        _, col, kind = binding
+        if kind == "bool":
+            return col
+        return col != 0 if kind == "int" else col.isNotNull() & (col != "")
+
+    def var_field_item(v: _VarRef, env: dict) -> Column:
+        """``$x.key``: the raw map item under the variable's bound value.
+        Resolvable only when the DECLARATION chain bottoms out at ``.Data``
+        (the one map-valued expression in scope) — anything else is a loud
+        build-time error, including access through ``=`` reassignment
+        (whose tail keeps truth, not the bound node): Go would resolve
+        those dynamically; silently rendering the wrong thing would not."""
+        seen: set[str] = set()
+        node: _Node | None = _VarRef(v.name)  # strip the path: resolve the BINDING
+        denv = env
+        while isinstance(node, _VarRef) and node.path is None:
+            if node.name in seen:  # defensive: $a := $b; $b := $a is unreachable
+                break
+            seen.add(node.name)
+            binding = _binding(node, denv)
+            tail = binding[3] if len(binding) > 3 else None
+            if not (isinstance(tail, tuple) and len(tail) == 3):
+                node = None
+                break
+            node, _, denv = tail
+        if isinstance(node, _Field) and node.root == "Data" and node.key is None:
+            return parsed.getItem(v.path)
+        raise ValueError(
+            f"${v.name}.{v.path} requires ${v.name} declared (:=) from .Data"
+            f" in {template!r} — other bindings are not map-valued here"
+        )
+
     def truthy(f: _Node, env: dict) -> Column:
         if isinstance(f, _VarRef):
-            binding = _binding(f, env)
-            if len(binding) > 3:
-                # Go truth of the UNDERLYING value: a var bound to a
-                # missing .Data.key is nil (falsy) even though it RENDERS
-                # "<no value>"
-                node, ddot, denv = binding[3]
-                return node_truthy(node, ddot, denv)
-            _, col, kind = binding
-            if kind == "bool":
-                return col
-            return col != 0 if kind == "int" else col.isNotNull() & (col != "")
+            if f.path is not None:
+                item = var_field_item(f, env)
+                return item.isNotNull() & (item != "")
+            return binding_truth(_binding(f, env))
         if f.root == "Timestamp":
             return F.lit(True)
         if f.root == "Tag":
@@ -673,6 +728,9 @@ def compile_go_template(
                 raise ValueError(f"{{{{.}}}} outside a range/with body in {template!r}")
             return F.coalesce(dot, F.lit("")), "str"
         if isinstance(a, _VarRef):
+            if a.path is not None:
+                # renders like .Data.key: "<no value>" for a missing key
+                return F.coalesce(var_field_item(a, env), F.lit("<no value>")), "str"
             return lookup_var(a, env)
         if isinstance(a, _Field):
             return render_field(a), "str"
@@ -945,21 +1003,31 @@ def compile_go_template(
         # assignments must never phi-merge back into the outer scope
         shadowed: set[str] = set()
 
-        def note_assign(name: str, col: Column, kind: str) -> None:
-            env[name] = ("col", col, kind)
+        def note_assign(name: str, col: Column, kind: str, truth: Column) -> None:
+            # the eagerly-built truth Column rides as the binding tail so
+            # {{if $x}} after an assignment keeps Go's underlying-value
+            # truth (ADVICE r5 — the := path's (node, dot, env) tail did
+            # this; the = path silently fell back to rendered-string truth)
+            env[name] = ("col", col, kind, truth)
             if out_assigns is not None and name in outer and name not in shadowed:
-                out_assigns[name] = (col, kind)
+                out_assigns[name] = (col, kind, truth)
 
         def merge_assigns(cond: Column, then_a: dict, else_a: dict) -> None:
             for name in set(then_a) | set(else_a):
-                base = lookup_var(_VarRef(name), env)
-                tc, tk = then_a.get(name, base)
-                ec, ek = else_a.get(name, base)
+                binding = _binding(_VarRef(name), env)
+                base = (binding[1], binding[2], binding_truth(binding))
+                tc, tk, tt = then_a.get(name, base)
+                ec, ek, et = else_a.get(name, base)
                 if tk != ek:
                     tc, ec, k = _to_str(tc, tk), _to_str(ec, ek), "str"
                 else:
                     k = tk
-                note_assign(name, F.when(cond, tc).otherwise(ec), k)
+                note_assign(
+                    name,
+                    F.when(cond, tc).otherwise(ec),
+                    k,
+                    F.when(cond, tt).otherwise(et),
+                )
 
         for n in nodes:
             if isinstance(n, _Text):
@@ -982,9 +1050,9 @@ def compile_go_template(
                         f" in {template!r}"
                     )
                 col, kind = eval_arg(n.value, dot, env)
-                note_assign(n.name, col, kind)
+                note_assign(n.name, col, kind, node_truthy(n.value, dot, env))
             elif isinstance(n, _VarRef):
-                col, kind = lookup_var(n, env)
+                col, kind = eval_arg(n, dot, env)  # handles $x and $x.key
                 parts.append(_to_str(col, kind))
             elif isinstance(n, _Call):
                 col, kind = eval_call(n, dot, env)
@@ -1038,8 +1106,12 @@ def compile_go_template(
                 merge_assigns(ran, {}, else_assigns)
             elif isinstance(n, _With):
                 if isinstance(n.target, _VarRef):
-                    val, vkind = lookup_var(n.target, env)
-                    val = _to_str(val, vkind)
+                    if n.target.path is not None:
+                        val = var_field_item(n.target, env)  # raw item: dot
+                        # binds the VALUE; truth below handles missing keys
+                    else:
+                        val, vkind = lookup_var(n.target, env)
+                        val = _to_str(val, vkind)
                 elif n.target.root == "Timestamp":
                     val = go_time_string(event_time)
                 elif n.target.root == "Tag":

@@ -1601,3 +1601,69 @@ def test_go_template_reassignment_and_escapers(spark, event_df):
     ):
         with pytest.raises(ValueError):
             compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
+
+
+def test_go_template_assignment_truth_and_var_field(spark, event_df):
+    # ADVICE r5 (medium): {{$x = <expr>}} must carry UNDERLYING-value truth
+    # like := does — after {{$x = .Data.missing}}, Go's $x is nil (falsy)
+    # even though it renders "<no value>"; the = path used to compare the
+    # coalesced rendering against "" and come out TRUE.
+    # VERDICT r5 item 6: $x.key field access on a .Data-bound variable.
+    from go_log_forwarder_spark.functions.gotemplate import compile_go_template
+
+    def render(tpl):
+        return [
+            r["t"]
+            for r in event_df.select(
+                compile_go_template(
+                    tpl, F.col("parsed"), F.col("tag"), F.col("event_time")
+                ).alias("t")
+            ).collect()
+        ]
+
+    # the exact ADVICE case: assignment of a missing key is falsy
+    assert render(
+        '{{$x := "seed"}}{{$x = .Data.zz}}{{if $x}}T{{else}}F{{end}}/{{$x}}'
+    ) == ["F/<no value>", "F/<no value>"]
+    # ... and of a present key is truthy (row 2 has a nil map -> falsy)
+    assert render(
+        '{{$x := ""}}{{$x = .Data.a}}{{if $x}}T{{else}}F{{end}}'
+    ) == ["T", "F"]
+    # truth phi-merges across branch joins alongside the value: only the
+    # row whose branch assigned a REAL key flips to truthy
+    assert render(
+        '{{$x := .Data.zz}}{{if .Data.a}}{{$x = .Data.a}}{{end}}'
+        "{{if $x}}set{{else}}unset{{end}}"
+    ) == ["set", "unset"]
+    # assignment back to a falsy literal stays falsy; to an int obeys != 0
+    assert render(
+        '{{$x := "v"}}{{$x = ""}}{{if $x}}T{{else}}F{{end}}'
+    ) == ["F", "F"]
+    assert render(
+        "{{$n := 0}}{{$n = 7}}{{if $n}}T{{else}}F{{end}}"
+    ) == ["T", "T"]
+
+    # $x.key on a .Data-declared var: renders like .Data.key, keeps
+    # underlying truth, works as a with target, follows var-of-var decls
+    assert render("{{$d := .Data}}{{$d.a}}/{{$d.zz}}") == [
+        "1/<no value>", "<no value>/<no value>",
+    ]
+    assert render(
+        "{{$d := .Data}}{{if $d.b}}B{{else}}-{{end}}{{if $d.zz}}Z{{else}}-{{end}}"
+    ) == ["B-", "--"]
+    assert render("{{$d := .Data}}{{with $d.b}}[{{.}}]{{else}}none{{end}}") == [
+        "[2]", "none",
+    ]
+    assert render("{{$d := .Data}}{{$e := $d}}{{$e.a}}") == ["1", "<no value>"]
+    assert render('{{$d := .Data}}{{printf "%s!" $d.a}}') == ["1!", "<no value>!"]
+
+    # loud: field access through a non-map binding or an = reassignment
+    for tpl in (
+        '{{$s := "str"}}{{$s.f}}',            # Go: can't field a string
+        "{{$d := .Data.a}}{{$d.f}}",          # bound to a VALUE, not the map
+        "{{$d := .Tag}}{{$d.f}}",
+        '{{$d := .Data}}{{$d = .Data}}{{$d.a}}',  # documented: = drops the node
+        "{{$a.b.c}}",                          # only single-level paths
+    ):
+        with pytest.raises(ValueError):
+            compile_go_template(tpl, F.lit(None), F.lit(""), F.lit(None))
