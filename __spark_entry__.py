@@ -1625,23 +1625,86 @@ def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_BUILD_CACHE: dict[str, str] = {}
+
+
+def _ann_index_build(spark: SparkSession, sf_dir: str) -> str:
+    """Cold phase of the two trained-ANN queries (VERDICT r5 item 2), built
+    ONCE per sf_dir: train the IVF coarse quantizer and the PQ codebooks on
+    the full corpus and PERSIST them as snapshots (same store shape as the
+    LSH band index), then assign/encode the corpus as TWO increments
+    against the frozen models — the apply-to-new-batch path (old batches
+    are never re-quantized; the gate tests pin snap= FileScans and zero
+    training aggregates in the increment plans). Wall seconds recorded in
+    PHASE_TIMES for BENCH_DETAIL (index I/O vs engine time, VERDICT r5
+    item 7). Returns the store's temp dir.
+
+    The gated queries then SEARCH the persisted index; since assignment and
+    encode are deterministic functions of the frozen models, frozen-index
+    top-k equals the in-query retrain exactly — the UNCHANGED Lloyd-
+    unrolling oracles pin that equality (the folded outcome gate)."""
+    if sf_dir in _ANN_BUILD_CACHE:
+        return _ANN_BUILD_CACHE[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    emb = _embeddings(spark, sf_dir)
+    t0 = time.perf_counter()
+    tmp = tempfile.mkdtemp(prefix="glfs_ann_idx_")
+    atexit.register(shutil.rmtree, tmp, True)
+    store = ParquetSnapshotStore(tmp)
+    sim.ann_index_train(store, emb, k=sim.IVF_K, iters=2)
+    sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
+    sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
+    t1 = time.perf_counter()
+    sim.ann_pq_train(store, emb, iters=2)
+    sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
+    sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
+    PHASE_TIMES["ann_ivf_trained_topk"] = {
+        "index_build_io_sec": round(t1 - t0, 4)
+    }
+    PHASE_TIMES["ann_pq_trained_topk"] = {
+        "index_build_io_sec": round(time.perf_counter() - t1, 4)
+    }
+    _ANN_BUILD_CACHE[sf_dir] = tmp
+    return tmp
+
+
 def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC search against TRAINED per-subspace codebooks (VERDICT r2
-    item 7): 2 integer Lloyd iterations per subspace (sim.pq_train_codebooks
-    — deterministic, engine-portable), then the same ADC lookup-table
-    search; the oracle unrolls the per-subspace Lloyd steps in SQL."""
+    item 7), round 6 driving the PERSISTED index (VERDICT r5 item 2):
+    codebooks trained once and committed to a snapshot store, the corpus
+    encoded as two increments against the frozen codebooks, and the search
+    reading codes + codebooks back as snap= FileScans — no retrain or
+    re-encode in the query plan (test_ann_pq_frozen_index). Deterministic
+    encode under frozen codebooks makes this equal the in-query retrain,
+    which the unchanged per-subspace-Lloyd-unrolling oracle pins."""
+    store = _ann_store(spark, sf_dir)
     emb = _embeddings(spark, sf_dir)
-    cents = sim.pq_train_codebooks(emb, iters=2)
-    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), topk=10, cents=cents)
+    return sim.ann_pq_frozen_topk(spark, store, emb.filter(F.col("vec_id") < 3), topk=10)
 
 
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search against a TRAINED coarse quantizer: 2 integer Lloyd
-    iterations (sim.kmeans_int — deterministic, engine-portable), then the
-    same nprobe bucket search; the oracle unrolls both Lloyd steps in SQL."""
+    """IVF search against a TRAINED coarse quantizer, round 6 driving the
+    PERSISTED index (VERDICT r5 item 2): centroids from two integer Lloyd
+    iterations committed to a snapshot store, corpus postings appended as
+    two assign increments against the frozen centroids, search reading
+    centroids + postings as snap= FileScans (no training aggregate in the
+    plan — test_ann_frozen_index_no_retrain). Equals the in-query retrain
+    exactly; the oracle (unchanged) unrolls both Lloyd steps in SQL."""
+    store = _ann_store(spark, sf_dir)
     emb = _embeddings(spark, sf_dir)
-    cents = sim.kmeans_int(emb, k=sim.IVF_K, iters=2)
-    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents)
+    return sim.ann_frozen_topk(spark, store, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _ann_store(spark: SparkSession, sf_dir: str):
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    return ParquetSnapshotStore(_ann_index_build(spark, sf_dir))
 
 
 def _minhash_lsh_oracle_sql(threshold: float = JACCARD_THRESHOLD) -> str:

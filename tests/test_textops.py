@@ -1305,3 +1305,101 @@ def test_split_hot_buckets_recursive_adversarial_skew(spark):
         for r in sim.bucketed_cosine_pairs(emb, 999000, k=1, split_cap=cap).collect()
     }
     assert spark_pairs == got and len(spark_pairs) > 0
+
+
+def _executed_plan(spark, df) -> str:
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
+def _ann_emb(spark):
+    # deterministic synthetic corpus: 30 vectors, dim 8 (divisible by PQ_S)
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(8)])
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_frozen_index_no_retrain(spark, tmp_path):
+    # VERDICT r5 item 2: persisted/incremental ANN index. Train ONCE,
+    # assign increments against the FROZEN centroids, search reads
+    # everything as snap= FileScans: (a) the apply plan has no training
+    # aggregate (posexplode = the Lloyd update marker) and reads centroids
+    # off the store, (b) the frozen search plan has no argmin of any kind
+    # (min_by = assign/train marker) and touches ONLY index files, and
+    # (c) frozen-index top-k == in-query retrain top-k exactly.
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    emb = _ann_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    store = ParquetSnapshotStore(str(tmp_path))
+
+    sim.ann_index_train(store, emb, k=4, iters=2)
+
+    # apply-to-new-batch plan: frozen centroids arrive as a snap= FileScan,
+    # no Lloyd update anywhere
+    cents = store.read(spark, sim.ANN_CENTROIDS_TABLE)
+    a = sim.ivf_assign(emb.filter(F.col("vec_id") % 2 == 0), centroids=cents)
+    assert any("snap=" in f for f in a.inputFiles())
+    assert "posexplode" not in _executed_plan(spark, a).lower()
+
+    sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
+    sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
+    # each increment appended ONLY its own batch's postings
+    assert store.read(spark, sim.ANN_POSTINGS_TABLE, after_snapshot=1).count() == 15
+    assert store.read(spark, sim.ANN_POSTINGS_TABLE).count() == 30
+
+    frozen = sim.ann_frozen_topk(spark, store, queries, k=5, nprobe=2)
+    files = frozen.inputFiles()
+    assert files and all("snap=" in f for f in files)
+    plan = _executed_plan(spark, frozen).lower()
+    assert "min_by" not in plan and "posexplode" not in plan
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_micro"], r["rank"])
+        for r in frozen.collect()
+    )
+    trained = sim.kmeans_int(emb, k=4, iters=2)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_micro"], r["rank"])
+        for r in sim.ivf_topk(emb, queries, k=5, nprobe=2, centroids=trained).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ann_pq_frozen_index(spark, tmp_path):
+    # PQ side of the persisted index: codebooks trained once, codes
+    # appended per batch against the FROZEN codebooks, ADC search reads
+    # both as snap= FileScans with no argmin (no retrain, no re-encode)
+    # and equals the in-query retrain pq_adc_topk exactly.
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    emb = _ann_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    store = ParquetSnapshotStore(str(tmp_path))
+
+    sim.ann_pq_train(store, emb, iters=2)
+    sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
+    sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
+    assert store.read(spark, sim.ANN_CODES_TABLE, after_snapshot=1).count() == 15
+
+    frozen = sim.ann_pq_frozen_topk(spark, store, queries, topk=5)
+    files = frozen.inputFiles()
+    assert files and all("snap=" in f for f in files)
+    assert "min_by" not in _executed_plan(spark, frozen).lower()
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["approx_dot"], r["rank"])
+        for r in frozen.collect()
+    )
+    cents = sim.pq_train_codebooks(emb, iters=2)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["approx_dot"], r["rank"])
+        for r in sim.pq_adc_topk(emb, queries, topk=5, cents=cents).collect()
+    )
+    assert got == want and len(got) > 0
