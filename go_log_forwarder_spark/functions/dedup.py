@@ -228,14 +228,22 @@ LSH_INDEX_TABLE = "lsh_bands"
 
 
 def lsh_index_increment(store, batch: DataFrame,
-                        text_col: str = "text", id_col: str = "doc_id") -> int:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        snapshot_id: int | None = None) -> int:
     """Incremental cross-run dedup, write side (VERDICT r4 item 2): MinHash-
     band ONLY the new batch and append the band relation as one atomic
     snapshot of the persisted index (``sources.storage`` snapshot store /
     Iceberg). At 100 TB the corpus is never re-signatured per increment —
     each run pays for its own batch; everything older is parquet on disk.
-    Returns the committed snapshot id."""
-    return store.append(minhash_bands(batch, text_col, id_col), LSH_INDEX_TABLE)
+    Returns the committed snapshot id.
+
+    ``snapshot_id`` pins the id for idempotent callers (the streaming
+    wiring maps micro-batch id -> snapshot id, so a replayed batch raises
+    ``ValueError`` instead of double-appending — the exactly-once guard)."""
+    return store.append(
+        minhash_bands(batch, text_col, id_col), LSH_INDEX_TABLE,
+        snapshot_id=snapshot_id,
+    )
 
 
 def lsh_index_compact(spark, store, target_mb: int = 128) -> int | None:
@@ -768,6 +776,7 @@ SPAN_INDEX_TABLE = "span_shingles"
 def span_index_increment(
     store, batch: DataFrame, n: int = SPAN_NGRAM,
     text_col: str = "text", id_col: str = "doc_id",
+    snapshot_id: int | None = None,
 ) -> int:
     """Incremental substring-span dedup, write side (round-6 shortlist
     item 1, same shape as :func:`lsh_index_increment`): shingle ONLY the
@@ -782,7 +791,7 @@ def span_index_increment(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    return store.append(counts, SPAN_INDEX_TABLE)
+    return store.append(counts, SPAN_INDEX_TABLE, snapshot_id=snapshot_id)
 
 
 def span_incremental_spans(

@@ -151,3 +151,123 @@ def windowed_counts(
         F.window(F.col(time_col), window).alias("win"),
         F.col("sink").alias("sink_name"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def incremental_lsh_batch_fn(
+    spark: SparkSession,
+    store,
+    corpus_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    consumer: str = "lsh_stream",
+):
+    """foreachBatch body wiring the persisted LSH dedup index into the
+    stream (VERDICT r5 item 3) with the same exactly-once discipline as the
+    batch lineage: micro-batch id N commits snapshot id N+1, so Spark's
+    crash-replay of an uncommitted micro-batch hits the store's explicit-id
+    replay guard (``ValueError``) instead of double-appending — the batch
+    is never re-signatured; its bands are already parquet on disk.
+
+    Per micro-batch, in crash-safe order:
+
+    1. land the batch into the corpus lake (``batch=<sid>`` dir, overwrite
+       -> idempotent on replay) — the verify side joins candidate ids back
+       to text here;
+    2. append the batch's MinHash bands as snapshot <sid> (skipped with a
+       warning-free pass on replay — already committed);
+    3. emit near-dup pairs involving the batch (new x old + new x new) from
+       the INDEX (bands read back, never recomputed) to
+       ``pairs/batch=<sid>`` (overwrite -> idempotent);
+    4. release read leases (the quiescent point — a concurrent
+       ``compact()`` may fold snapshots between batches, never during) and
+       advance the store checkpoint, which FENCES compaction from folding
+       snapshots this consumer hasn't processed.
+
+    The union of every batch's pair output equals the full-corpus
+    ``minhash_lsh_dedup`` relation exactly (old x old pairs were emitted by
+    earlier batches) — pinned across a stream restart by
+    ``test_stream_incremental_lsh_crash_resume``."""
+    from ..functions import dedup as dd
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sid = batch_id + 1
+        batch_df.select(id_col, text_col).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch={sid}")
+        )
+        try:
+            dd.lsh_index_increment(
+                store, batch_df, text_col, id_col, snapshot_id=sid
+            )
+        except ValueError:
+            pass  # replayed micro-batch: bands committed by the crashed run
+        spark.catalog.refreshByPath(corpus_dir)
+        corpus = spark.read.parquet(corpus_dir)
+        pairs = dd.lsh_incremental_pairs(
+            spark, store, corpus, sid, threshold, text_col, id_col
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={sid}")
+        )
+        store.release_leases(dd.LSH_INDEX_TABLE)
+        store.set_checkpoint(dd.LSH_INDEX_TABLE, consumer, sid)
+
+    return process
+
+
+def incremental_span_batch_fn(
+    spark: SparkSession,
+    store,
+    spans_dir: str,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    consumer: str = "span_stream",
+):
+    """foreachBatch body for the streaming substring-span index — same
+    exactly-once shape as :func:`incremental_lsh_batch_fn`: snapshot id =
+    micro-batch id + 1 (replay hits the explicit-id guard, the batch is
+    never re-shingled into the count index), spans of the batch under
+    FULL-corpus counts written to ``spans/batch=<sid>`` (overwrite ->
+    idempotent). Only the batch's own text is shingled on the read side;
+    history arrives as (h, n_occ) count partials off the store."""
+    from ..functions import dedup as dd
+
+    if n is None:
+        n = dd.SPAN_NGRAM
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sid = batch_id + 1
+        try:
+            dd.span_index_increment(
+                store, batch_df, n, text_col, id_col, snapshot_id=sid
+            )
+        except ValueError:
+            pass  # replayed micro-batch: counts committed by the crashed run
+        spans = dd.span_incremental_spans(spark, store, batch_df, n, text_col, id_col)
+        spans.write.mode("overwrite").parquet(os.path.join(spans_dir, f"batch={sid}"))
+        store.release_leases(dd.SPAN_INDEX_TABLE)
+        store.set_checkpoint(dd.SPAN_INDEX_TABLE, consumer, sid)
+
+    return process
+
+
+def run_incremental_dedup_stream(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    trigger_seconds: int = 1,
+):
+    """Start a stream whose micro-batches maintain a persisted dedup index
+    (:func:`incremental_lsh_batch_fn` / :func:`incremental_span_batch_fn`).
+    Exactly-once end to end: Spark's checkpoint replays at-most the last
+    uncommitted micro-batch; every side effect inside the batch fn is
+    either guarded by the store's explicit-id commit or an idempotent
+    ``batch=<sid>`` overwrite."""
+    return (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1403,3 +1403,51 @@ def test_ann_pq_frozen_index(spark, tmp_path):
         for r in sim.pq_adc_topk(emb, queries, topk=5, cents=cents).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_words_tokenization_three_way_parity_property(spark):
+    # VERDICT r5 item 5: round 5 hand-fixed two SILENT whitespace
+    # divergences (\x0B in Java's \s but not RE2's; DuckDB's default trim
+    # strips NBSP, Spark's strips 0x20 only). This pins the whole class
+    # the way the tag-match property test pinned util.go: random corpora
+    # over every separator-adjacent character must tokenize identically in
+    # the Spark column (words_col), the DuckDB oracle (words_sql), and the
+    # Python kernel (subword._WS + strip(' ')) — including empty tokens
+    # from untrimmed leading/trailing non-space separators.
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_log_forwarder_spark.functions.subword import _WS
+
+    alphabet = "ab. \t\n\x0b\f\r\xa0  ·　​e"
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet=alphabet, max_size=14), min_size=1, max_size=24
+        )
+    )
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got_spark = {
+            r["doc_id"]: list(r["w"])
+            for r in df.select(
+                "doc_id", ts.words_col(F.col("text")).alias("w")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got_duck = {
+            r[0]: list(r[1])
+            for r in con.execute(
+                f"SELECT doc_id, {ts.words_sql('text')} FROM t"
+            ).fetchall()
+        }
+        got_py = {i: _WS.split((t or "").strip(" ")) for i, t in rows}
+        assert got_spark == got_py, "Spark words_col vs Python _WS kernel"
+        assert got_duck == got_py, "DuckDB words_sql vs Python _WS kernel"
+
+    check()
