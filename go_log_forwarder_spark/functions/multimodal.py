@@ -664,9 +664,13 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
 def decode_avi_frames(buf: bytes) -> dict:
     """Real AVI frame access: avih timing + the movi LIST's per-frame
-    '00dc' chunks. Returns duration_ms, us_per_frame and the byte-sum of
+    stream-0 VIDEO chunks — compressed ('00dc') or uncompressed ('00db'),
+    both legitimate for the first stream (ADVICE r5: counting only '00dc'
+    wrongly failed uncompressed AVIs). Chunks of other streams (audio
+    '01wb', a second video '01dc') are skipped by design — frame sampling
+    reads stream 0. Returns duration_ms, us_per_frame and the byte-sum of
     each frame's actual payload (the cheap codec-free per-frame feature);
-    an avih frame count that disagrees with the movi chunk count is
+    an avih frame count that disagrees with the stream-0 chunk count is
     loud."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
@@ -680,7 +684,7 @@ def decode_avi_frames(buf: bytes) -> dict:
                     upf, nf = vals[0], vals[4]
         elif cid == b"LIST" and data[:4] == b"movi":
             for sub, sdata in _riff_chunks(data[4:]):
-                if sub == b"00dc":
+                if sub in (b"00dc", b"00db"):
                     sums.append(sum(sdata))
     if upf is None:
         raise ValueError("no avih header")
@@ -699,10 +703,15 @@ def decode_avi_frames(buf: bytes) -> dict:
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one row per sampled frame offset, derived
     from the REAL avih-decoded duration, carrying the REAL payload
-    byte-sum of the frame the offset lands in (movi '00dc' chunks,
-    decoded once per row by an Arrow kernel into an array column; the
-    time-grid explode and the frame lookup stay pure Catalyst —
-    element_at on the array, no second decode, no join)."""
+    byte-sum of the frame the offset lands in (movi stream-0 video
+    chunks, decoded once per row by an Arrow kernel into an array column;
+    the time-grid explode and the frame lookup stay pure Catalyst —
+    element_at on the array, no second decode, no join).
+
+    A video that fails to decode is FLAGGED, not dropped (ADVICE r5 —
+    extract_features' magic_ok=false contract): it survives as exactly one
+    all-NULL row (media_id, NULL offset/idx/sum), so non-synthetic AVIs
+    stay visible in the output instead of vanishing wholesale."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -712,16 +721,22 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     d = decode_avi_frames(bytes(content) if content is not None else b"")
                 except (ValueError, struct.error, TypeError, IndexError,
                         ZeroDivisionError):
-                    # corrupt-input tolerance (extract_features contract):
-                    # a bad video row yields NO frames, never a failed batch
+                    # corrupt-input tolerance: flagged row, never a failed
+                    # batch and never a silent wholesale drop
+                    out.append((media_id, None, None, None))
                     continue
                 out.append(
                     (media_id, d["us_per_frame"], d["duration_ms"], d["frame_sums"])
                 )
-            yield pd.DataFrame(
+            pdf_out = pd.DataFrame(
                 out,
                 columns=["media_id", "us_per_frame", "duration_ms", "frame_sums"],
             )
+            # None -> nullable Int32 (plain int columns would coerce to NaN
+            # floats, which Arrow refuses to cast back to int)
+            pdf_out["us_per_frame"] = pdf_out["us_per_frame"].astype("Int32")
+            pdf_out["duration_ms"] = pdf_out["duration_ms"].astype("Int32")
+            yield pdf_out
 
     frames = df.filter(F.col("kind") == "video").select(
         "media_id", "content"
@@ -729,14 +744,19 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         kernel,
         "media_id long, us_per_frame int, duration_ms int, frame_sums array<int>",
     )
-    offsets = F.sequence(
-        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+    # a flagged (failed-decode) row has NULL duration -> NULL offset array;
+    # explode_outer keeps it as the single all-NULL visibility row
+    offsets = F.when(
+        F.col("duration_ms").isNotNull(),
+        F.sequence(
+            F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+        ),
     )
     exploded = frames.select(
         "media_id",
         "us_per_frame",
         "frame_sums",
-        F.explode(offsets).alias("frame_offset_ms"),
+        F.explode_outer(offsets).alias("frame_offset_ms"),
     )
     idx = F.expr(
         "CAST((CAST(frame_offset_ms AS BIGINT) * 1000) DIV us_per_frame AS INT)"

@@ -476,9 +476,10 @@ def test_multimodal_frame_sample(spark):
             + (i * k) % 256 + (7 * i + 2 * k) % 256
         ), (i, k)
 
-    # corrupt-input tolerance (extract_features contract): a corrupt AVI,
-    # a NULL payload, and a movi-less container yield NO frames — never a
-    # failed batch; healthy rows in the same batch survive
+    # corrupt-input tolerance (extract_features contract, ADVICE r5): a
+    # corrupt AVI, a NULL payload, and a movi-less container are FLAGGED —
+    # one all-NULL row each, never a failed batch, never a silent wholesale
+    # drop; healthy rows in the same batch survive with real frames
     import pandas as pd
 
     bad = bytearray(mm.synth_avi(2))
@@ -496,7 +497,20 @@ def test_multimodal_frame_sample(spark):
         schema="media_id long, kind string, content binary",
     )
     out = mm.frame_sample(df, every_ms=100).collect()
-    assert out and {r["media_id"] for r in out} == {8}
+    ok = [r for r in out if r["frame_offset_ms"] is not None]
+    flagged = [r for r in out if r["frame_offset_ms"] is None]
+    assert ok and {r["media_id"] for r in ok} == {8}
+    assert sorted(r["media_id"] for r in flagged) == [2, 5, 7]
+    assert all(
+        r["frame_idx"] is None and r["frame_sum"] is None for r in flagged
+    )
+
+    # an uncompressed-video AVI ('00db' stream-0 chunks) decodes like its
+    # compressed twin instead of failing the avih-count cross-check
+    good = mm.synth_avi(8)
+    d_dc = mm.decode_avi_frames(good)
+    d_db = mm.decode_avi_frames(good.replace(b"00dc", b"00db"))
+    assert d_db == d_dc
 
 
 def test_multimodal_column_pruning(spark):
