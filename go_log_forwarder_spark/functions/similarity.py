@@ -636,8 +636,15 @@ def ann_index_assign_increment(
     if cents is None:
         raise ValueError(f"no trained quantizer committed to {ANN_CENTROIDS_TABLE}")
     assigned = ivf_assign(batch, id_col, vec_col, centroids=cents)
+    # postings are hive-partitioned BY BUCKET (centroid=N dirs — the IVF
+    # inverted-list layout on disk): the frozen search's probe join then
+    # prunes non-probed buckets at the FILE level (dynamic partition
+    # pruning off the broadcast probe side), so a query reads nprobe
+    # buckets' files, not the whole index — the property that makes IVF
+    # an index at 100 TB rather than a full scan with extra steps
     return store.append(
-        assigned.select("id", "v", "norm2", "centroid"), ANN_POSTINGS_TABLE
+        assigned.select("id", "v", "norm2", "centroid"), ANN_POSTINGS_TABLE,
+        partition_by=["centroid"],
     )
 
 

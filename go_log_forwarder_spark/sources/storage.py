@@ -115,10 +115,16 @@ class ParquetSnapshotStore:
                 continue
         return best
 
-    def append(self, df: DataFrame, table: str, snapshot_id: int | None = None) -> int:
+    def append(self, df: DataFrame, table: str, snapshot_id: int | None = None,
+               partition_by: list[str] | None = None) -> int:
         """Write a new snapshot; returns its id. Commit is atomic (the
         manifest appears in one filesystem operation); data written before
         the commit is invisible until then.
+
+        ``partition_by`` hive-partitions the snapshot's data files (Iceberg
+        partition-spec analog): a reader's join/filter on those columns can
+        then prune non-matching files — at 100 TB the difference between
+        scanning probed buckets and scanning the whole index.
 
         Concurrent-appender safe (ADVICE r5): the id is RESERVED first via
         an O_EXCL ``.lock-<id>`` file (create-if-absent is the one primitive
@@ -149,7 +155,10 @@ class ParquetSnapshotStore:
             # overwrite below would destroy the committed snapshot's files
             raise ValueError(f"snapshot {snapshot_id} already committed to {table!r}")
         data_dir = os.path.join(self._table_dir(table), "data", f"snap={snapshot_id}")
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         manifest = {
             "snapshot_id": snapshot_id,
             "data_dir": data_dir,
@@ -243,7 +252,17 @@ class ParquetSnapshotStore:
                 )
             os.rename(tmp, path)
             self._held_leases.append(path)
-        return spark.read.parquet(*[live[i]["data_dir"] for i in ids])
+        # basePath anchors partition discovery at the table's data root, so
+        # snapshots whose data files are themselves hive-partitioned (append
+        # partition_by=...) read correctly across multiple snap= dirs; the
+        # technical snap column that discovery surfaces is dropped — snapshot
+        # selection happens by PATH above, never by a snap predicate
+        base = os.path.join(self._table_dir(table), "data")
+        return (
+            spark.read.option("basePath", base)
+            .parquet(*[live[i]["data_dir"] for i in ids])
+            .drop("snap")
+        )
 
     def release_leases(self, table: str | None = None) -> int:
         """Release every lease THIS store instance holds (optionally only
@@ -294,7 +313,7 @@ class ParquetSnapshotStore:
 
     def compact(
         self, spark: SparkSession, table: str, target_mb: int = 128,
-        force: bool = False,
+        force: bool = False, partition_by: list[str] | None = None,
     ) -> int | None:
         """Fold every live snapshot into ONE (the Iceberg
         ``rewrite_data_files`` analog — the small-files fix: thousands of
@@ -347,11 +366,24 @@ class ParquetSnapshotStore:
         data_dir = os.path.join(
             self._table_dir(table), "data", f"snap={k}-compact-{uuid.uuid4().hex[:8]}"
         )
-        df = spark.read.parquet(*[live[i]["data_dir"] for i in sorted(live)])
+        df = (
+            spark.read.option(
+                "basePath", os.path.join(self._table_dir(table), "data")
+            )
+            .parquet(*[live[i]["data_dir"] for i in sorted(live)])
+            .drop("snap")
+        )
         total = sum(dir_bytes(live[i]["data_dir"]) for i in live)
         n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
         writer = df.coalesce(n_out) if n_out <= df.rdd.getNumPartitions() else df.repartition(n_out)
-        writer.write.mode("overwrite").parquet(data_dir)
+        w = writer.write.mode("overwrite")
+        if partition_by:
+            # a partitioned table (see append) must stay partitioned through
+            # the fold, or the pruning the layout exists for is lost —
+            # partition_by is a per-table invariant the caller owns (the
+            # Iceberg partition-spec analog)
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
         manifest = {
             "snapshot_id": k,
             "data_dir": data_dir,

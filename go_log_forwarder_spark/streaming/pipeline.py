@@ -271,3 +271,47 @@ def run_incremental_dedup_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def incremental_ann_batch_fn(
+    spark: SparkSession,
+    store,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    consumer: str = "ann_stream",
+):
+    """foreachBatch body maintaining the PERSISTED ANN index from a vector
+    stream — the ANN sibling of :func:`incremental_lsh_batch_fn`, same
+    exactly-once discipline: micro-batch id N commits postings snapshot
+    N+1 (a crash-replayed batch hits the store's explicit-id guard and is
+    never re-assigned), each batch assigned against the FROZEN centroids
+    (``ann_index_train`` must have committed them first; train-once is the
+    operating model — IVF centroids are not drifted per batch). Postings
+    land centroid-partitioned, so queries via ``ann_frozen_topk`` prune to
+    their probed buckets no matter how many stream batches accumulated;
+    ``store.compact(..., partition_by=["centroid"])`` folds the small
+    per-batch files at any quiescent point between batches."""
+    from ..functions import similarity as sim
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sid = batch_id + 1
+        cents = store.read(spark, sim.ANN_CENTROIDS_TABLE)
+        if cents is None:
+            raise ValueError(
+                f"no trained quantizer committed to {sim.ANN_CENTROIDS_TABLE}"
+                " — run ann_index_train before starting the stream"
+            )
+        assigned = sim.ivf_assign(batch_df, id_col, vec_col, centroids=cents)
+        try:
+            store.append(
+                assigned.select("id", "v", "norm2", "centroid"),
+                sim.ANN_POSTINGS_TABLE,
+                snapshot_id=sid,
+                partition_by=["centroid"],
+            )
+        except ValueError:
+            pass  # replayed micro-batch: postings committed by the crashed run
+        store.release_leases(sim.ANN_CENTROIDS_TABLE)
+        store.set_checkpoint(sim.ANN_POSTINGS_TABLE, consumer, sid)
+
+    return process

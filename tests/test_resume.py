@@ -217,3 +217,39 @@ def test_unit_size_percent_decoded(tmp_path):
     assert "%20" in uri
     assert unit_size(uri) == 37
     assert unit_mtime_ns(uri) is not None
+
+
+def test_explicit_id_replay_after_midcrash_commit(spark, tmp_path):
+    # The streaming wirings map micro-batch id -> explicit snapshot id. Two
+    # replay shapes must both be exactly-once:
+    # (a) crash BETWEEN data write and manifest commit: the data dir exists
+    #     but is invisible; the replayed append with the SAME id must
+    #     succeed, overwriting the partial files and committing atomically;
+    # (b) crash AFTER the manifest commit: the replayed append must raise
+    #     (the guard the batch fns catch) and leave the snapshot untouched.
+    store = ParquetSnapshotStore(str(tmp_path / "store"))
+    df = spark.range(20).select(F.col("id"))
+
+    # (a) simulate the mid-crash: partial data files, no manifest
+    partial = str(tmp_path / "store/t/data/snap=1")
+    spark.range(3).select(F.col("id")).write.mode("overwrite").parquet(partial)
+    assert store.read(spark, "t") is None  # invisible
+    assert store.append(df, "t", snapshot_id=1) == 1  # replay heals
+    assert store.read(spark, "t", lease=False).count() == 20
+
+    # (b) committed snapshot: replay raises, data intact
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already committed"):
+        store.append(spark.range(5).select(F.col("id")), "t", snapshot_id=1)
+    assert store.read(spark, "t", lease=False).count() == 20
+
+    # partitioned replay heals the same way (the ANN postings shape)
+    pdf = spark.range(12).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    partial2 = str(tmp_path / "store/p/data/snap=1")
+    pdf.limit(2).write.mode("overwrite").partitionBy("bucket").parquet(partial2)
+    assert store.append(pdf, "p", snapshot_id=1, partition_by=["bucket"]) == 1
+    got = store.read(spark, "p", lease=False)
+    assert got.count() == 12 and "bucket" in got.columns

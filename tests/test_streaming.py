@@ -491,3 +491,85 @@ def test_stream_incremental_span_crash_resume(spark, tmp_path):
         if r["doc_id"] in {3, 4, 5}
     }
     assert got == want and any(d == 3 for d, _, _ in got)
+
+
+def test_stream_incremental_ann_crash_resume(spark, tmp_path):
+    # ANN sibling of the streaming LSH test: postings snapshot-per-batch
+    # against FROZEN centroids, replay guard, and frozen-index top-k over
+    # the streamed postings == the batch retrain top-k on the union corpus.
+    from go_log_forwarder_spark.functions import similarity as sim
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+    from go_log_forwarder_spark.streaming.pipeline import (
+        incremental_ann_batch_fn,
+        run_incremental_dedup_stream,
+    )
+
+    def vecs(lo, hi):
+        return [
+            (i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(8)])
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<float>"
+    emb_all = spark.createDataFrame(vecs(0, 30), schema)
+    store = ParquetSnapshotStore(str(tmp_path / "idx"))
+    # train-once on the seed corpus, BEFORE the stream starts
+    sim.ann_index_train(store, emb_all, k=4, iters=2)
+
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+    inner = incremental_ann_batch_fn(spark, store)
+
+    def fn(batch_df, batch_id):
+        seen.append(batch_id)
+        inner(batch_df, batch_id)
+
+    b1 = spark.createDataFrame(vecs(0, 15), schema)
+    b2 = spark.createDataFrame(vecs(15, 30), schema)
+    b1.coalesce(1).write.mode("append").parquet(indir)
+    q = run_incremental_dedup_stream(stream_events(spark, indir, b1.schema), fn, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    b2.coalesce(1).write.mode("append").parquet(indir)
+    q2 = run_incremental_dedup_stream(stream_events(spark, indir, b1.schema), fn, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    snaps = store.snapshots(sim.ANN_POSTINGS_TABLE)
+    assert len(snaps) == len(set(seen)) == 2
+    assert store.read(spark, sim.ANN_POSTINGS_TABLE, after_snapshot=snaps[0], lease=False).count() == 15
+    assert store.read(spark, sim.ANN_POSTINGS_TABLE, lease=False).count() == 30
+
+    # replay guard: redelivered batch id assigns nothing new
+    fn(b2, seen[-1])
+    assert store.snapshots(sim.ANN_POSTINGS_TABLE) == snaps
+    assert store.read(spark, sim.ANN_POSTINGS_TABLE, lease=False).count() == 30
+
+    # frozen search over the streamed postings == batch retrain on the
+    # union corpus (assignment is a pure function of the frozen centroids)
+    queries = emb_all.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_micro"], r["rank"])
+        for r in sim.ann_frozen_topk(spark, store, queries, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_micro"], r["rank"])
+        for r in sim.ivf_topk(
+            emb_all, queries, k=5, nprobe=2,
+            centroids=sim.kmeans_int(emb_all, k=4, iters=2),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # quiescent-point compaction folds the per-batch posting files while
+    # KEEPING the centroid= layout (partition_by is the caller-owned spec)
+    store.release_leases()
+    assert store.compact(spark, sim.ANN_POSTINGS_TABLE, partition_by=["centroid"]) is not None
+    after = sim.ann_frozen_topk(spark, store, queries, k=5, nprobe=2)
+    assert any("centroid=" in f for f in after.inputFiles())
+    got2 = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_micro"], r["rank"])
+        for r in after.collect()
+    )
+    assert got2 == got

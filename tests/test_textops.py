@@ -1357,8 +1357,12 @@ def test_ann_frozen_index_no_retrain(spark, tmp_path):
     frozen = sim.ann_frozen_topk(spark, store, queries, k=5, nprobe=2)
     files = frozen.inputFiles()
     assert files and all("snap=" in f for f in files)
+    # postings land as centroid=N hive partitions (the inverted-list layout)
+    # and the probe join prunes non-probed buckets at the FILE level
+    assert any("centroid=" in f for f in files)
     plan = _executed_plan(spark, frozen).lower()
     assert "min_by" not in plan and "posexplode" not in plan
+    assert "dynamicpruning" in plan
 
     got = sorted(
         (r["query_id"], r["neighbor_id"], r["cosine_micro"], r["rank"])
