@@ -165,6 +165,18 @@ def main() -> None:
         # per sf_dir and paid on the first rep), so regression triage never
         # re-litigates honest index I/O
         "phases": entry_mod.PHASE_TIMES,
+        # per-query context for cross-round diffs (self-describing, like
+        # the exclusion reasons): a query whose SCOPE grew is not a
+        # regression of the code it shared with last round
+        "notes": {
+            "dedup_substring_spans": (
+                "round 6 folds the TOKEN-sequence find+apply into this row"
+                " (VERDICT r5 item 1): ~6M hot token shingles at sf0.1 run"
+                " inside the timed region every rep. r5's 4.76 s covered"
+                " the text half only (whose full find is the memoized cold"
+                " baseline recorded under phases)."
+            ),
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # invariant: every gated query is either benchmarked or has a recorded

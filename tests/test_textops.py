@@ -457,16 +457,21 @@ def test_compaction_reader_lease_fence(spark, tmp_path):
     assert store.read(spark, t, lease=False).count() == 20
 
     # crashed reader: its lease expires after the TTL instead of fencing
-    # forever (and the expired file is garbage-collected)
+    # forever (and the expired file is garbage-collected). The fence
+    # assertion uses a LONG TTL (a loaded suite can take >1 s between
+    # read and compact — a short TTL here flaked the whole test by
+    # expiring early); expiry is then tested by re-opening the SAME lease
+    # dir through a store configured with a zero TTL.
     store.append(spark.range(100, 105).toDF("v"), t)
-    crashed = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=0.2)
+    crashed = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=300.0)
     crashed.read(spark, t)
     ldir = os.path.join(str(tmp_path), t, "leases")
     assert len([f for f in os.listdir(ldir) if f.endswith(".json")]) == 1
     with pytest.raises(CompactionFenced, match="lease"):
         crashed.compact(spark, t, target_mb=1)
-    _time.sleep(0.25)
-    assert crashed.compact(spark, t, target_mb=1) == 3
+    _time.sleep(0.05)
+    expired_view = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=0.01)
+    assert expired_view.compact(spark, t, target_mb=1) == 3
     assert [f for f in os.listdir(ldir) if f.endswith(".json")] == []
 
 
