@@ -253,3 +253,34 @@ def test_explicit_id_replay_after_midcrash_commit(spark, tmp_path):
     assert store.append(pdf, "p", snapshot_id=1, partition_by=["bucket"]) == 1
     got = store.read(spark, "p", lease=False)
     assert got.count() == 12 and "bucket" in got.columns
+
+
+def test_append_after_compaction_mixed_read(spark, tmp_path):
+    # the normal index lifecycle: compact, then KEEP appending. The
+    # compacted dir's snap=<k>-compact-<hex> name and later plain snap=<id>
+    # dirs must read together (basePath partition inference unions the
+    # mixed snap values to string; the technical column is dropped), for
+    # plain AND partitioned tables, including incremental reads.
+    store = ParquetSnapshotStore(str(tmp_path))
+    t = "mix"
+    store.append(spark.range(0, 10).toDF("v"), t)
+    store.append(spark.range(10, 20).toDF("v"), t)
+    store.release_leases()
+    k = store.compact(spark, t, target_mb=1)
+    store.append(spark.range(20, 30).toDF("v"), t)
+    df = store.read(spark, t, lease=False)
+    assert df.count() == 30 and df.columns == ["v"]
+    assert store.read(spark, t, after_snapshot=k, lease=False).count() == 10
+
+    p = "mixp"
+    pdf = spark.range(0, 12).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("b")
+    )
+    store.append(pdf, p, partition_by=["b"])
+    store.append(pdf.withColumn("id", F.col("id") + 100), p, partition_by=["b"])
+    store.release_leases()
+    store.compact(spark, p, target_mb=1, partition_by=["b"])
+    store.append(pdf.withColumn("id", F.col("id") + 200), p, partition_by=["b"])
+    got = store.read(spark, p, lease=False)
+    assert got.count() == 36 and sorted(got.columns) == ["b", "id"]
+    assert got.groupBy("b").count().count() == 3
