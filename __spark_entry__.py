@@ -459,6 +459,24 @@ _SPAN_BUILD_CACHE: dict[str, str] = {}
 PHASE_TIMES: dict[str, dict[str, float]] = {}
 
 
+def _cold_build(cache: dict[str, str], prefix: str, sf_dir: str, build_fn) -> str:
+    """Shared cold-phase memo for the index-driving queries (self-review
+    r6: the mkdtemp + atexit + cache boilerplate had been copy-pasted three
+    times): one temp store dir per sf_dir, built once by ``build_fn(tmp)``
+    — which records its own PHASE_TIMES entries — removed at interpreter
+    exit. Bench reps then time the engine, never the index I/O."""
+    if sf_dir not in cache:
+        import atexit
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, tmp, True)
+        build_fn(tmp)
+        cache[sf_dir] = tmp
+    return cache[sf_dir]
+
+
 def _span_index_build(spark: SparkSession, sf_dir: str) -> str:
     """Cold phase of q_dedup_substring_spans, built ONCE per sf_dir (ADVICE
     r5: bench reps must time the engine, not re-pay mkdtemp + two snapshot
@@ -476,31 +494,25 @@ def _span_index_build(spark: SparkSession, sf_dir: str) -> str:
     spans come from the full recompute, and the UNCHANGED full-corpus
     oracle pins the equality. History reaches the plan as snap= FileScans
     of count partials, never re-shingled."""
-    if sf_dir in _SPAN_BUILD_CACHE:
-        return _SPAN_BUILD_CACHE[sf_dir]
-    import atexit
-    import shutil
-    import tempfile
-    import time
-
     from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
 
-    docs = _documents(spark, sf_dir)
-    t0 = time.perf_counter()
-    tmp = tempfile.mkdtemp(prefix="glfs_span_idx_")
-    atexit.register(shutil.rmtree, tmp, True)
-    store = ParquetSnapshotStore(tmp)
-    dd.span_index_increment(store, docs.filter(F.col("doc_id") % 10 != 1))
-    dd.span_index_increment(store, docs.filter(F.col("doc_id") % 10 == 1))
-    # materialize the shared full-spans relation to the SAME temp dir
-    # (not .persist(): a cached relation would pin executor storage for
-    # the rest of the 50-query driver run with nothing to unpersist it)
-    dd.substring_spans(docs).write.parquet(os.path.join(tmp, "spans_full"))
-    PHASE_TIMES["dedup_substring_spans"] = {
-        "index_build_io_sec": round(time.perf_counter() - t0, 4)
-    }
-    _SPAN_BUILD_CACHE[sf_dir] = tmp
-    return tmp
+    def build(tmp: str) -> None:
+        import time
+
+        docs = _documents(spark, sf_dir)
+        t0 = time.perf_counter()
+        store = ParquetSnapshotStore(tmp)
+        dd.span_index_increment(store, docs.filter(F.col("doc_id") % 10 != 1))
+        dd.span_index_increment(store, docs.filter(F.col("doc_id") % 10 == 1))
+        # materialize the shared full-spans relation to the SAME temp dir
+        # (not .persist(): a cached relation would pin executor storage for
+        # the rest of the 50-query driver run with nothing to unpersist it)
+        dd.substring_spans(docs).write.parquet(os.path.join(tmp, "spans_full"))
+        PHASE_TIMES["dedup_substring_spans"] = {
+            "index_build_io_sec": round(time.perf_counter() - t0, 4)
+        }
+
+    return _cold_build(_SPAN_BUILD_CACHE, "glfs_span_idx_", sf_dir, build)
 
 
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,21 +697,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
 
     docs = _documents(spark, sf_dir)
-    if sf_dir not in _VOCAB_CACHE:
-        import atexit
-        import shutil
-        import tempfile
+
+    def build(tmp: str) -> None:
         import time
 
         t0 = time.perf_counter()
-        tmp = tempfile.mkdtemp(prefix="glfs_vocab_")
-        atexit.register(shutil.rmtree, tmp, True)
         sw.vocab_train_persist(spark, ParquetSnapshotStore(tmp), docs)
         PHASE_TIMES["bpe_encode"] = {
             "vocab_train_io_sec": round(time.perf_counter() - t0, 4)
         }
-        _VOCAB_CACHE[sf_dir] = tmp
-    vocab = sw.vocab_load(spark, ParquetSnapshotStore(_VOCAB_CACHE[sf_dir]))
+
+    d = _cold_build(_VOCAB_CACHE, "glfs_vocab_", sf_dir, build)
+    vocab = sw.vocab_load(spark, ParquetSnapshotStore(d))
     return sw.encode_docs(docs, vocab)
 
 
@@ -1675,35 +1684,29 @@ def _ann_index_build(spark: SparkSession, sf_dir: str) -> str:
     encode are deterministic functions of the frozen models, frozen-index
     top-k equals the in-query retrain exactly — the UNCHANGED Lloyd-
     unrolling oracles pin that equality (the folded outcome gate)."""
-    if sf_dir in _ANN_BUILD_CACHE:
-        return _ANN_BUILD_CACHE[sf_dir]
-    import atexit
-    import shutil
-    import tempfile
-    import time
-
     from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
 
-    emb = _embeddings(spark, sf_dir)
-    t0 = time.perf_counter()
-    tmp = tempfile.mkdtemp(prefix="glfs_ann_idx_")
-    atexit.register(shutil.rmtree, tmp, True)
-    store = ParquetSnapshotStore(tmp)
-    sim.ann_index_train(store, emb, k=sim.IVF_K, iters=2)
-    sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
-    sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
-    t1 = time.perf_counter()
-    sim.ann_pq_train(store, emb, iters=2)
-    sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
-    sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
-    PHASE_TIMES["ann_ivf_trained_topk"] = {
-        "index_build_io_sec": round(t1 - t0, 4)
-    }
-    PHASE_TIMES["ann_pq_trained_topk"] = {
-        "index_build_io_sec": round(time.perf_counter() - t1, 4)
-    }
-    _ANN_BUILD_CACHE[sf_dir] = tmp
-    return tmp
+    def build(tmp: str) -> None:
+        import time
+
+        emb = _embeddings(spark, sf_dir)
+        t0 = time.perf_counter()
+        store = ParquetSnapshotStore(tmp)
+        sim.ann_index_train(store, emb, k=sim.IVF_K, iters=2)
+        sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
+        sim.ann_index_assign_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
+        t1 = time.perf_counter()
+        sim.ann_pq_train(store, emb, iters=2)
+        sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 0))
+        sim.ann_pq_encode_increment(spark, store, emb.filter(F.col("vec_id") % 2 == 1))
+        PHASE_TIMES["ann_ivf_trained_topk"] = {
+            "index_build_io_sec": round(t1 - t0, 4)
+        }
+        PHASE_TIMES["ann_pq_trained_topk"] = {
+            "index_build_io_sec": round(time.perf_counter() - t1, 4)
+        }
+
+    return _cold_build(_ANN_BUILD_CACHE, "glfs_ann_idx_", sf_dir, build)
 
 
 def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

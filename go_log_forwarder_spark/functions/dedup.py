@@ -229,7 +229,8 @@ LSH_INDEX_TABLE = "lsh_bands"
 
 def lsh_index_increment(store, batch: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        snapshot_id: int | None = None) -> int:
+                        snapshot_id: int | None = None,
+                        meta: dict | None = None) -> int:
     """Incremental cross-run dedup, write side (VERDICT r4 item 2): MinHash-
     band ONLY the new batch and append the band relation as one atomic
     snapshot of the persisted index (``sources.storage`` snapshot store /
@@ -242,7 +243,7 @@ def lsh_index_increment(store, batch: DataFrame,
     ``ValueError`` instead of double-appending — the exactly-once guard)."""
     return store.append(
         minhash_bands(batch, text_col, id_col), LSH_INDEX_TABLE,
-        snapshot_id=snapshot_id,
+        snapshot_id=snapshot_id, meta=meta,
     )
 
 
@@ -796,7 +797,7 @@ SPAN_INDEX_TABLE = "span_shingles"
 def span_index_increment(
     store, batch: DataFrame, n: int = SPAN_NGRAM,
     text_col: str = "text", id_col: str = "doc_id",
-    snapshot_id: int | None = None,
+    snapshot_id: int | None = None, meta: dict | None = None,
 ) -> int:
     """Incremental substring-span dedup, write side (round-6 shortlist
     item 1, same shape as :func:`lsh_index_increment`): shingle ONLY the
@@ -811,7 +812,7 @@ def span_index_increment(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    return store.append(counts, SPAN_INDEX_TABLE, snapshot_id=snapshot_id)
+    return store.append(counts, SPAN_INDEX_TABLE, snapshot_id=snapshot_id, meta=meta)
 
 
 def span_incremental_spans(

@@ -116,7 +116,8 @@ class ParquetSnapshotStore:
         return best
 
     def append(self, df: DataFrame, table: str, snapshot_id: int | None = None,
-               partition_by: list[str] | None = None) -> int:
+               partition_by: list[str] | None = None,
+               meta: dict | None = None) -> int:
         """Write a new snapshot; returns its id. Commit is atomic (the
         manifest appears in one filesystem operation); data written before
         the commit is invisible until then.
@@ -126,16 +127,26 @@ class ParquetSnapshotStore:
         then prune non-matching files — at 100 TB the difference between
         scanning probed buckets and scanning the whole index.
 
-        Concurrent-appender safe (ADVICE r5): the id is RESERVED first via
-        an O_EXCL ``.lock-<id>`` file (create-if-absent is the one primitive
-        two writers cannot tie on), so no two writers ever share a snapshot
-        id or a ``snap=`` data dir; the manifest commit itself is an
-        ``os.link`` (create-if-absent, unlike ``os.rename`` which silently
-        replaces), so even an EXPLICIT-id collision raises instead of
-        clobbering the earlier writer's manifest. The lock is removed after
-        commit (the committed manifest then carries the id); a writer that
-        crashes in between leaves a lock that burns its id — readers skip
-        holes and allocation never reuses them."""
+        ``meta`` is recorded verbatim in the manifest (Iceberg snapshot-
+        summary analog). The streaming wirings stamp provenance here
+        ({"consumer", "batch_id"}) so an explicit-id collision can be
+        classified: MY replayed commit (benign, skip) vs somebody else's
+        snapshot under the id I computed (a mis-seeded store — loud).
+        Read it back via :meth:`manifest_meta`.
+
+        Concurrent-appender safe (ADVICE r5): an AUTO id is RESERVED via an
+        O_EXCL ``.lock-<id>`` file (create-if-absent is the one primitive
+        two writers cannot tie on) and owns the plain ``snap=<id>`` data
+        dir. An EXPLICIT id takes no lock — it must stay replayable after a
+        crash at ANY point — so it writes to a fresh ``snap=<id>-attempt-
+        <uuid>`` dir instead: two writers racing the same explicit id can
+        never touch each other's files; the ``os.link`` manifest commit
+        (create-if-absent, unlike ``os.rename`` which silently replaces)
+        picks exactly one winner and the loser removes its own attempt dir
+        and raises. Readers only ever follow manifests, so orphaned attempt
+        dirs from crashes are invisible (reaped by :meth:`vacuum_orphans`).
+        A crashed AUTO writer leaves a lock that burns its id — readers
+        skip holes and allocation never reuses them."""
         mdir = self._manifest_dir(table)
         os.makedirs(mdir, exist_ok=True)
         lock = None
@@ -149,12 +160,18 @@ class ParquetSnapshotStore:
                     break
                 except FileExistsError:  # concurrent appender won this id
                     continue
+            data_dir = os.path.join(
+                self._table_dir(table), "data", f"snap={snapshot_id}"
+            )
+        else:
+            data_dir = os.path.join(
+                self._table_dir(table), "data",
+                f"snap={snapshot_id}-attempt-{uuid.uuid4().hex[:8]}",
+            )
         final = os.path.join(mdir, f"{snapshot_id}.json")
         if os.path.exists(final):
-            # explicit-id replay guard, checked BEFORE the data write: the
-            # overwrite below would destroy the committed snapshot's files
+            # explicit-id replay guard, checked BEFORE the data write
             raise ValueError(f"snapshot {snapshot_id} already committed to {table!r}")
-        data_dir = os.path.join(self._table_dir(table), "data", f"snap={snapshot_id}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -164,6 +181,8 @@ class ParquetSnapshotStore:
             "data_dir": data_dir,
             "committed_at": time.time(),
         }
+        if meta:
+            manifest["meta"] = meta
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -172,6 +191,10 @@ class ParquetSnapshotStore:
         try:
             os.link(tmp, final)  # atomic create-if-absent commit
         except FileExistsError:
+            if lock is None:
+                # lost an explicit-id race: our attempt dir is ours alone —
+                # remove it so the winner's table carries no orphan
+                shutil.rmtree(data_dir, ignore_errors=True)
             raise ValueError(
                 f"snapshot {snapshot_id} already committed to {table!r} "
                 "(concurrent explicit-id append?)"
@@ -184,6 +207,12 @@ class ParquetSnapshotStore:
             except OSError:
                 pass
         return snapshot_id
+
+    def manifest_meta(self, table: str, snapshot_id: int) -> dict:
+        """The ``meta`` recorded with a committed snapshot ({} if none, or
+        if the id is not committed)."""
+        m = self._live_manifests(table).get(snapshot_id)
+        return (m or {}).get("meta", {})
 
     def _checkpoint_dir(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "checkpoints")
@@ -233,25 +262,43 @@ class ParquetSnapshotStore:
         concurrent :meth:`compact` would delete them mid-job. compact()
         refuses while any unexpired lease exists. Release at the reader's
         quiescent point via :meth:`release_leases`; a crashed reader's
-        lease expires after ``lease_ttl_sec``. Pass ``lease=False`` only
-        for plans consumed eagerly before any possible compaction."""
-        live = self._live_manifests(table)
-        ids = sorted(live)
-        if after_snapshot is not None:
-            ids = [i for i in ids if i > after_snapshot]
-        if not ids:
-            return None
+        lease expires after ``lease_ttl_sec`` — a legitimately SLOW scan
+        must heartbeat via :meth:`touch_leases` before the TTL elapses, or
+        it loses its fence (self-review r6). Pass ``lease=False`` only
+        for plans consumed eagerly before any possible compaction.
+
+        Ordering matters (self-review r6): the lease is written BEFORE the
+        manifest listing, so once this method has decided which snap= dirs
+        to scan, any compact() that could delete those dirs must already
+        see the lease — listing first left a window where compact checked
+        leases (none), this reader listed the old view, and the fold's
+        cleanup deleted the dirs out from under the returned plan. (A
+        compact that commits between our lease write and our listing is
+        harmless: we then list the post-fold view.) compact() additionally
+        re-checks leases after its commit and defers data-dir deletion if
+        any appeared."""
+        path = None
         if lease:
             d = self._lease_dir(table)
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"{uuid.uuid4().hex}.json")
             tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
-                json.dump(
-                    {"created_at": time.time(), "pid": os.getpid(), "snapshots": ids}, f
-                )
+                json.dump({"created_at": time.time(), "pid": os.getpid()}, f)
             os.rename(tmp, path)
             self._held_leases.append(path)
+        live = self._live_manifests(table)
+        ids = sorted(live)
+        if after_snapshot is not None:
+            ids = [i for i in ids if i > after_snapshot]
+        if not ids:
+            if path is not None:
+                self._held_leases.remove(path)
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            return None
         # basePath anchors partition discovery at the table's data root, so
         # snapshots whose data files are themselves hive-partitioned (append
         # partition_by=...) read correctly across multiple snap= dirs; the
@@ -283,6 +330,31 @@ class ParquetSnapshotStore:
                 pass
             n += 1
         self._held_leases = kept
+        return n
+
+    def touch_leases(self, table: str | None = None) -> int:
+        """Heartbeat: re-stamp held leases' ``created_at`` (atomic rewrite).
+        A reader whose plan legitimately outlives ``lease_ttl_sec`` — the
+        TTL exists to expire CRASHED readers, but a wall-clock TTL cannot
+        tell crashed from slow (self-review r6) — must call this
+        periodically or its fence against :meth:`compact` lapses mid-scan.
+        Returns the number of leases touched."""
+        n = 0
+        prefix = None if table is None else self._table_dir(table) + os.sep
+        for p in self._held_leases:
+            if prefix is not None and not p.startswith(prefix):
+                continue
+            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+            try:
+                with open(p) as fh:
+                    m = json.load(fh)
+                m["created_at"] = time.time()
+                with open(tmp, "w") as fh:
+                    json.dump(m, fh)
+                os.rename(tmp, p)
+                n += 1
+            except (OSError, ValueError):
+                continue
         return n
 
     def _live_leases(self, table: str) -> dict[str, dict]:
@@ -338,6 +410,11 @@ class ParquetSnapshotStore:
         snapshot."""
         from go_log_forwarder_spark.operators.compaction import dir_bytes
 
+        # drain any data dirs a previous compact deferred (it committed
+        # while a late lease appeared — see the post-commit check below);
+        # _gc_sweep no-ops while any lease is live, so this is safe even
+        # before the fence
+        self._gc_sweep(table)
         all_mans = self._manifests(table)
         live = self._live_manifests(table)
         if len(live) <= 1:
@@ -399,29 +476,191 @@ class ParquetSnapshotStore:
         old_dirs = [m["data_dir"] for i, m in all_mans.items() if i != k]
         old_dirs.append(all_mans[k]["data_dir"])
         os.rename(tmp, os.path.join(mdir, f"{k}.json"))  # atomic commit
-        # post-commit cleanup (best-effort; the read path never needs it)
+        # post-commit cleanup. Removing subsumed MANIFEST files is safe at
+        # any time (readers that already listed hold the parsed dicts; new
+        # listings ignore subsumed ids regardless); deleting DATA dirs is
+        # not — a reader that registered its lease after our pre-commit
+        # fence check may hold a plan over them (self-review r6), so
+        # re-check and DEFER deletion to the gc queue if any lease is live.
         for i in manifest["subsumes"]:
             try:
                 os.remove(os.path.join(mdir, f"{i}.json"))
             except OSError:
                 pass
-        for d in old_dirs:
-            if os.path.abspath(d) != os.path.abspath(data_dir):
+        doomed = [
+            d for d in old_dirs
+            if os.path.abspath(d) != os.path.abspath(data_dir)
+        ]
+        if self._live_leases(table):
+            self._gc_enqueue(table, doomed)
+        else:
+            for d in doomed:
                 shutil.rmtree(d, ignore_errors=True)
         return k
+
+    def _gc_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "gc")
+
+    def _gc_enqueue(self, table: str, dirs: list[str]) -> None:
+        d = self._gc_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"dirs": dirs, "queued_at": time.time()}, f)
+        os.rename(tmp, os.path.join(d, f"{uuid.uuid4().hex}.json"))
+
+    def _gc_sweep(self, table: str) -> int:
+        """Delete deferred post-compaction data dirs once no lease is live
+        (runs at the top of every compact(), after the fence passes).
+        Returns the number of dirs removed."""
+        d = self._gc_dir(table)
+        if not os.path.isdir(d) or self._live_leases(table):
+            return 0
+        n = 0
+        for f in os.listdir(d):
+            if not f.endswith(".json"):
+                continue
+            p = os.path.join(d, f)
+            try:
+                with open(p) as fh:
+                    entry = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for dd in entry.get("dirs", []):
+                shutil.rmtree(dd, ignore_errors=True)
+                n += 1
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return n
+
+    def vacuum_orphans(self, table: str, older_than_sec: float = 86400.0) -> int:
+        """Remove data dirs referenced by NO manifest (crashed explicit-id
+        attempt dirs, pre-commit auto-id leftovers). Age-gated: an in-flight
+        append's dir is unreferenced until its manifest commits, so only
+        dirs untouched for ``older_than_sec`` are eligible. Run at a
+        maintenance point, like compact. Returns dirs removed."""
+        droot = os.path.join(self._table_dir(table), "data")
+        if not os.path.isdir(droot):
+            return 0
+        referenced = {
+            os.path.abspath(m["data_dir"]) for m in self._manifests(table).values()
+        }
+        now = time.time()
+        n = 0
+        for name in os.listdir(droot):
+            p = os.path.join(droot, name)
+            if not os.path.isdir(p) or os.path.abspath(p) in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(p) < older_than_sec:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            n += 1
+        return n
 
 
 class IcebergStore:
     """Real-Iceberg variant (needs iceberg-spark-runtime on the classpath;
-    config-only swap on a real cluster)."""
+    config-only swap on a real cluster). Interface-complete with
+    :class:`ParquetSnapshotStore` (self-review r6: the streaming wirings'
+    exactly-once rested on kwargs this class used to silently ignore)."""
 
     def __init__(self, catalog: str = "spark_catalog"):
         self.catalog = catalog
 
-    def append(self, df: DataFrame, table: str, snapshot_id: int | None = None) -> int:
-        df.writeTo(f"{self.catalog}.{table}").append()
-        hist = df.sparkSession.sql(f"SELECT snapshot_id FROM {self.catalog}.{table}.snapshots ORDER BY committed_at DESC LIMIT 1")
+    def _external_id(self, spark: SparkSession, table: str,
+                     snapshot_id: int) -> int | None:
+        """Iceberg snapshot whose summary carries our explicit id (the
+        snapshot-summary analog of the fallback's manifest filename)."""
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {self.catalog}.{table}.snapshots "
+            f"WHERE summary['external-id'] = '{int(snapshot_id)}' LIMIT 1"
+        ).head()
+        return row[0] if row else None
+
+    def append(self, df: DataFrame, table: str, snapshot_id: int | None = None,
+               partition_by: list[str] | None = None,
+               meta: dict | None = None) -> int:
+        """``snapshot_id`` maps to the Iceberg snapshot-summary property
+        ``external-id`` (checked before the write — the replay guard raises
+        the same ValueError the fallback store does, so the streaming batch
+        fns behave identically on both stores). ``meta`` lands as summary
+        properties. ``partition_by`` is validated only: Iceberg partitioning
+        is the TABLE's spec (declared at CREATE), not a per-append choice —
+        appends inherit it, so the kwarg is advisory here."""
+        spark = df.sparkSession
+        writer = df.writeTo(f"{self.catalog}.{table}")
+        if snapshot_id is not None:
+            if self._external_id(spark, table, snapshot_id) is not None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} already committed to {table!r}"
+                )
+            writer = writer.option(
+                "snapshot-property.external-id", str(int(snapshot_id))
+            )
+        for k, v in (meta or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
+        writer.append()
+        if snapshot_id is not None:
+            return snapshot_id
+        hist = spark.sql(
+            f"SELECT snapshot_id FROM {self.catalog}.{table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        )
         return hist.head()[0]
+
+    def manifest_meta(self, table: str, snapshot_id: int) -> dict:
+        """Summary properties of the snapshot carrying ``external-id`` ==
+        snapshot_id ({} if absent) — same signature as the fallback store
+        (the streaming guard calls it); needs an active session."""
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession()
+        if spark is None:
+            return {}
+        row = spark.sql(
+            f"SELECT summary FROM {self.catalog}.{table}.snapshots "
+            f"WHERE summary['external-id'] = '{int(snapshot_id)}' LIMIT 1"
+        ).head()
+        if not row:
+            return {}
+        out = dict(row[0])
+        if "batch_id" in out:
+            try:
+                out["batch_id"] = int(out["batch_id"])
+            except ValueError:
+                pass
+        return out
+
+    def set_checkpoint(self, table: str, consumer: str, snapshot_id: int) -> None:
+        """Consumer progress as a table property (fences nothing natively —
+        Iceberg-side the compaction fence lives in orchestration; recorded
+        so :meth:`checkpoints` answers the same question as the fallback)."""
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession()
+        if spark is not None:
+            spark.sql(
+                f"ALTER TABLE {self.catalog}.{table} SET TBLPROPERTIES "
+                f"('checkpoint.{consumer}' = '{int(snapshot_id)}')"
+            )
+
+    def checkpoints(self, table: str) -> dict[str, int]:
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession()
+        if spark is None:
+            return {}
+        rows = spark.sql(f"SHOW TBLPROPERTIES {self.catalog}.{table}").collect()
+        return {
+            r["key"][len("checkpoint."):]: int(r["value"])
+            for r in rows
+            if r["key"].startswith("checkpoint.")
+        }
 
     def read(self, spark: SparkSession, table: str, after_snapshot: int | None = None,
              lease: bool = True):
@@ -436,12 +675,17 @@ class IcebergStore:
     def release_leases(self, table: str | None = None) -> int:
         return 0
 
+    def touch_leases(self, table: str | None = None) -> int:
+        return 0
+
     def compact(self, spark: SparkSession, table: str, target_mb: int = 128,
-                force: bool = False):
+                force: bool = False, partition_by: list[str] | None = None):
         """Managed-table compaction is a stored procedure (same contract as
         :meth:`ParquetSnapshotStore.compact` — run at a quiescent point;
         Iceberg tracks no consumer checkpoints table-side, so the
-        checkpoint fence lives in the orchestration layer there)."""
+        checkpoint fence lives in the orchestration layer there; the
+        rewrite preserves the table's own partition spec, so partition_by
+        is advisory)."""
         spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files("
             f"table => '{table}', "

@@ -153,6 +153,26 @@ def windowed_counts(
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _replay_or_raise(store, table: str, sid: int, consumer: str) -> None:
+    """Classify an explicit-id append collision (self-review r6): benign
+    only when the committed snapshot carries OUR provenance stamp (the
+    crashed run's own commit, redelivered by Spark). A snapshot under this
+    id stamped by someone else — or unstamped (a batch bootstrap append
+    that shifted the id space) — means the store is mis-seeded and
+    swallowing it would silently drop this micro-batch's contribution from
+    the index forever."""
+    prov = store.manifest_meta(table, sid)
+    if prov.get("consumer") == consumer and prov.get("batch_id") == sid:
+        return  # my own replayed commit
+    raise ValueError(
+        f"snapshot {sid} of {table!r} was committed by"
+        f" {prov or 'an unstamped (non-streaming) writer'}, not by"
+        f" consumer {consumer!r} — the snapshot-id space is mis-seeded"
+        " (e.g. batch bootstrap appends interleaved with this stream);"
+        " start the stream on a dedicated store/table or align ids"
+    )
+
+
 def incremental_lsh_batch_fn(
     spark: SparkSession,
     store,
@@ -198,10 +218,13 @@ def incremental_lsh_batch_fn(
         )
         try:
             dd.lsh_index_increment(
-                store, batch_df, text_col, id_col, snapshot_id=sid
+                store, batch_df, text_col, id_col, snapshot_id=sid,
+                meta={"consumer": consumer, "batch_id": sid},
             )
         except ValueError:
-            pass  # replayed micro-batch: bands committed by the crashed run
+            # replayed micro-batch (bands committed by the crashed run) —
+            # or a mis-seeded id space, which must stay loud
+            _replay_or_raise(store, dd.LSH_INDEX_TABLE, sid, consumer)
         spark.catalog.refreshByPath(corpus_dir)
         corpus = spark.read.parquet(corpus_dir)
         pairs = dd.lsh_incremental_pairs(
@@ -241,10 +264,11 @@ def incremental_span_batch_fn(
         sid = batch_id + 1
         try:
             dd.span_index_increment(
-                store, batch_df, n, text_col, id_col, snapshot_id=sid
+                store, batch_df, n, text_col, id_col, snapshot_id=sid,
+                meta={"consumer": consumer, "batch_id": sid},
             )
         except ValueError:
-            pass  # replayed micro-batch: counts committed by the crashed run
+            _replay_or_raise(store, dd.SPAN_INDEX_TABLE, sid, consumer)
         spans = dd.span_incremental_spans(spark, store, batch_df, n, text_col, id_col)
         spans.write.mode("overwrite").parquet(os.path.join(spans_dir, f"batch={sid}"))
         store.release_leases(dd.SPAN_INDEX_TABLE)
@@ -308,9 +332,10 @@ def incremental_ann_batch_fn(
                 sim.ANN_POSTINGS_TABLE,
                 snapshot_id=sid,
                 partition_by=["centroid"],
+                meta={"consumer": consumer, "batch_id": sid},
             )
         except ValueError:
-            pass  # replayed micro-batch: postings committed by the crashed run
+            _replay_or_raise(store, sim.ANN_POSTINGS_TABLE, sid, consumer)
         store.release_leases(sim.ANN_CENTROIDS_TABLE)
         store.set_checkpoint(sim.ANN_POSTINGS_TABLE, consumer, sid)
 

@@ -284,3 +284,104 @@ def test_append_after_compaction_mixed_read(spark, tmp_path):
     got = store.read(spark, p, lease=False)
     assert got.count() == 36 and sorted(got.columns) == ["b", "id"]
     assert got.groupBy("b").count().count() == 3
+
+
+def test_explicit_id_race_attempt_dirs_and_gc(spark, tmp_path):
+    # self-review r6: (1) racing explicit-id writers never share a data
+    # dir (each writes its own snap=<id>-attempt-<uuid>; the loser's dir
+    # is removed), (2) compact under force with a live lease DEFERS data
+    # deletion so the in-flight plan survives, and the gc queue drains at
+    # the next quiescent compact; (3) vacuum_orphans reaps crashed attempt
+    # dirs by age without touching referenced dirs.
+    import os
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    t = "race"
+    assert store.append(spark.range(0, 10).toDF("v"), t, snapshot_id=1) == 1
+    droot = os.path.join(str(tmp_path), t, "data")
+    committed = os.listdir(droot)
+    assert len(committed) == 1 and committed[0].startswith("snap=1-attempt-")
+    # the loser of an explicit-id race raises and removes ITS dir only
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already committed"):
+        store.append(spark.range(50, 60).toDF("v"), t, snapshot_id=1)
+    assert os.listdir(droot) == committed
+    assert store.read(spark, t, lease=False).count() == 10
+
+    # deferred gc: a lazy reader holds a lease; force-compact commits but
+    # must NOT delete the old dirs under the reader's plan
+    store.append(spark.range(10, 20).toDF("v"), t, snapshot_id=2)
+    reader = ParquetSnapshotStore(str(tmp_path))
+    df = reader.read(spark, t)  # lease registered BEFORE listing
+    assert store.compact(spark, t, target_mb=1, force=True) == 2
+    assert df.count() == 20  # the in-flight plan's dirs survived the fold
+    gc_dir = os.path.join(str(tmp_path), t, "gc")
+    assert len([f for f in os.listdir(gc_dir) if f.endswith(".json")]) == 1
+    # quiescent point: lease released -> the next compact drains the queue
+    reader.release_leases()
+    store.append(spark.range(20, 25).toDF("v"), t)
+    store.compact(spark, t, target_mb=1)
+    assert [f for f in os.listdir(gc_dir) if f.endswith(".json")] == []
+    assert store.read(spark, t, lease=False).count() == 25
+
+    # vacuum: an old crashed attempt dir is reaped; referenced dirs are not
+    orphan = os.path.join(droot, "snap=9-attempt-dead")
+    spark.range(3).toDF("v").write.parquet(orphan)
+    os.utime(orphan, (1.0, 1.0))
+    assert store.vacuum_orphans(t, older_than_sec=60.0) == 1
+    assert not os.path.exists(orphan)
+    assert store.read(spark, t, lease=False).count() == 25
+
+
+def test_lease_touch_keeps_fence(spark, tmp_path):
+    # self-review r6: a slow-but-alive reader heartbeats via touch_leases
+    # and keeps its compaction fence past the TTL.
+    import time as _time
+
+    from go_log_forwarder_spark.sources.storage import CompactionFenced
+
+    store = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=0.6)
+    t = "slow"
+    store.append(spark.range(0, 5).toDF("v"), t)
+    store.append(spark.range(5, 10).toDF("v"), t)
+    reader = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=0.6)
+    reader.read(spark, t)
+    _time.sleep(0.4)
+    assert reader.touch_leases(t) == 1  # heartbeat before the TTL elapses
+    _time.sleep(0.4)  # 0.8s since read: an untouched lease would be expired
+    with pytest.raises(CompactionFenced, match="lease"):
+        store.compact(spark, t, target_mb=1)
+    reader.release_leases()
+    assert store.compact(spark, t, target_mb=1) == 2
+
+
+def test_stream_provenance_guard_misseeded_store(spark, tmp_path):
+    # self-review r6: a replayed micro-batch is benign ONLY when the
+    # committed snapshot carries THIS consumer's provenance stamp. A store
+    # pre-seeded by a batch bootstrap append (unstamped auto id 1) collides
+    # with micro-batch 0 -> sid 1, and swallowing that would silently drop
+    # the batch's bands from the index forever — it must raise instead.
+    from go_log_forwarder_spark.functions import dedup as dd
+    from go_log_forwarder_spark.streaming.pipeline import incremental_lsh_batch_fn
+
+    docs = spark.createDataFrame(
+        [(0, "seed doc one two three"), (1, "another seed document here")],
+        "doc_id long, text string",
+    )
+    store = ParquetSnapshotStore(str(tmp_path / "idx"))
+    dd.lsh_index_increment(store, docs)  # bootstrap: auto id 1, no stamp
+    fn = incremental_lsh_batch_fn(
+        spark, store, str(tmp_path / "corpus"), str(tmp_path / "pairs")
+    )
+    with pytest.raises(ValueError, match="mis-seeded"):
+        fn(docs, 0)  # sid 1 collides with the unstamped bootstrap
+
+    # the stamped case stays benign: a genuine redelivery is skipped
+    store2 = ParquetSnapshotStore(str(tmp_path / "idx2"))
+    fn2 = incremental_lsh_batch_fn(
+        spark, store2, str(tmp_path / "corpus2"), str(tmp_path / "pairs2")
+    )
+    fn2(docs, 0)
+    fn2(docs, 0)  # replay: no raise, no double-append
+    assert store2.snapshots(dd.LSH_INDEX_TABLE) == [1]
