@@ -45,6 +45,12 @@ class CompactionFenced(RuntimeError):
     in-flight plan holds FileScans of snap= dirs the fold would delete)."""
 
 
+class LeaseLapsed(RuntimeError):
+    """touch_leases() found a lease already expired or garbage-collected:
+    the reader's compaction fence lapsed, so its lazy plan may reference
+    folded/deleted snap= dirs — re-read and re-run instead of continuing."""
+
+
 LEASE_TTL_SEC = 900.0  # crashed readers stop fencing compaction after this
 
 
@@ -69,9 +75,17 @@ class ParquetSnapshotStore:
             return {}
         out = {}
         for f in os.listdir(d):
-            if f.endswith(".json"):
+            if not f.endswith(".json"):
+                continue
+            try:
                 with open(os.path.join(d, f)) as fh:
                     out[int(f[: -len(".json")])] = json.load(fh)
+            except FileNotFoundError:
+                # raced a concurrent compact's post-commit removal of a
+                # subsumed manifest (self-review r6 pass 2): the id was
+                # folded into the subsuming snapshot; skipping it here is
+                # exactly what a later listing would do
+                continue
         return out
 
     def _live_manifests(self, table: str) -> dict[int, dict]:
@@ -338,23 +352,44 @@ class ParquetSnapshotStore:
         TTL exists to expire CRASHED readers, but a wall-clock TTL cannot
         tell crashed from slow (self-review r6) — must call this
         periodically or its fence against :meth:`compact` lapses mid-scan.
+
+        A LAPSED heartbeat is LOUD (:class:`LeaseLapsed`), never silently
+        re-stamped (self-review r6 pass 2): if the lease file is gone
+        (GC'd as expired) or its stamp is already past the TTL, a compact
+        may have committed during the lapse and the reader's plan may
+        reference deleted dirs — resurrecting the lease would hand the
+        caller a "successful" heartbeat over a broken fence. Recover by
+        re-planning: release, re-``read()``, re-run.
         Returns the number of leases touched."""
         n = 0
+        now = time.time()
         prefix = None if table is None else self._table_dir(table) + os.sep
-        for p in self._held_leases:
+        for p in list(self._held_leases):
             if prefix is not None and not p.startswith(prefix):
                 continue
-            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
             try:
                 with open(p) as fh:
                     m = json.load(fh)
-                m["created_at"] = time.time()
-                with open(tmp, "w") as fh:
-                    json.dump(m, fh)
-                os.rename(tmp, p)
-                n += 1
             except (OSError, ValueError):
-                continue
+                self._held_leases.remove(p)
+                raise LeaseLapsed(
+                    f"lease {p} no longer exists — it expired and was"
+                    " garbage-collected; a compact may have folded the"
+                    " snapshots this reader's plan scans. Re-read and"
+                    " re-run the plan."
+                ) from None
+            if now - m.get("created_at", 0.0) >= self.lease_ttl_sec:
+                raise LeaseLapsed(
+                    f"lease {p} heartbeat arrived after the"
+                    f" {self.lease_ttl_sec:.0f}s TTL — the fence lapsed;"
+                    " re-read and re-run the plan instead of resurrecting it"
+                )
+            tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+            m["created_at"] = now
+            with open(tmp, "w") as fh:
+                json.dump(m, fh)
+            os.rename(tmp, p)
+            n += 1
         return n
 
     def _live_leases(self, table: str) -> dict[str, dict]:
@@ -467,6 +502,12 @@ class ParquetSnapshotStore:
             "committed_at": time.time(),
             "subsumes": sorted(i for i in all_mans if i != k),
         }
+        if "meta" in all_mans[k]:
+            # the surviving id keeps its provenance stamp (self-review r6
+            # pass 2): dropping it made a post-compact Spark replay of the
+            # folded micro-batch read as "mis-seeded" and crash-loop the
+            # stream, the exact benign case the stamp exists to allow
+            manifest["meta"] = all_mans[k]["meta"]
         mdir = self._manifest_dir(table)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -507,6 +548,8 @@ class ParquetSnapshotStore:
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"dirs": dirs, "queued_at": time.time()}, f)
+            f.flush()
+            os.fsync(f.fileno())  # leased readers depend on this record
         os.rename(tmp, os.path.join(d, f"{uuid.uuid4().hex}.json"))
 
     def _gc_sweep(self, table: str) -> int:
@@ -539,14 +582,31 @@ class ParquetSnapshotStore:
         """Remove data dirs referenced by NO manifest (crashed explicit-id
         attempt dirs, pre-commit auto-id leftovers). Age-gated: an in-flight
         append's dir is unreferenced until its manifest commits, so only
-        dirs untouched for ``older_than_sec`` are eligible. Run at a
-        maintenance point, like compact. Returns dirs removed."""
+        dirs untouched for ``older_than_sec`` are eligible. Refuses to run
+        while any reader lease is live, and never touches dirs the gc
+        queue is protecting for a leased reader (self-review r6 pass 2:
+        a gc-deferred dir is unreferenced AND old, exactly what a naive
+        vacuum would delete out from under the reader compact() just
+        protected). Run at a quiescent maintenance point, like compact.
+        Returns dirs removed."""
         droot = os.path.join(self._table_dir(table), "data")
-        if not os.path.isdir(droot):
+        if not os.path.isdir(droot) or self._live_leases(table):
             return 0
         referenced = {
             os.path.abspath(m["data_dir"]) for m in self._manifests(table).values()
         }
+        gdir = self._gc_dir(table)
+        if os.path.isdir(gdir):
+            for f in os.listdir(gdir):
+                if not f.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(gdir, f)) as fh:
+                        referenced.update(
+                            os.path.abspath(dd) for dd in json.load(fh).get("dirs", [])
+                        )
+                except (OSError, ValueError):
+                    continue
         now = time.time()
         n = 0
         for name in os.listdir(droot):
@@ -586,12 +646,20 @@ class IcebergStore:
                partition_by: list[str] | None = None,
                meta: dict | None = None) -> int:
         """``snapshot_id`` maps to the Iceberg snapshot-summary property
-        ``external-id`` (checked before the write — the replay guard raises
-        the same ValueError the fallback store does, so the streaming batch
-        fns behave identically on both stores). ``meta`` lands as summary
-        properties. ``partition_by`` is validated only: Iceberg partitioning
-        is the TABLE's spec (declared at CREATE), not a per-append choice —
-        appends inherit it, so the kwarg is advisory here."""
+        ``external-id`` (checked before the write, raising the fallback's
+        ValueError on a SEQUENTIAL replay, which is what Spark's micro-batch
+        redelivery produces). KNOWN WEAKER GUARANTEE than the fallback
+        (self-review r6 pass 2): the check-then-append is not atomic, so
+        two CONCURRENT writers racing the same explicit id (a zombie driver
+        surviving a failover) can both commit. Iceberg-side one-winner
+        semantics needs an atomic ref op — create a tag ``ext-<id>`` after
+        the append and roll back on collision — which requires a runtime to
+        validate; until then, rely on the orchestration layer's
+        single-active-driver guarantee and treat duplicate external-ids
+        surfaced by manifest_meta as the audit signal. ``meta`` lands as
+        summary properties. ``partition_by`` is advisory: Iceberg
+        partitioning is the TABLE's spec (declared at CREATE), appends
+        inherit it."""
         spark = df.sparkSession
         writer = df.writeTo(f"{self.catalog}.{table}")
         if snapshot_id is not None:
@@ -669,7 +737,23 @@ class IcebergStore:
         # protected by the table's own retention, not a side-channel lease
         reader = spark.read.format("iceberg")
         if after_snapshot is not None:
-            reader = reader.option("start-snapshot-id", str(after_snapshot))
+            # after_snapshot is an EXTERNAL id (the fallback's small int);
+            # Iceberg's start-snapshot-id wants a NATIVE id (random long) —
+            # passing the external id through read the wrong snapshot or
+            # none at all (self-review r6 pass 2). Resolve via the summary:
+            # the newest native snapshot stamped external-id <= the cursor
+            # is the exclusive start point; none stamped (cursor before the
+            # first increment, e.g. 0) = read everything, matching the
+            # fallback's "ids > j" semantics.
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {self.catalog}.{table}.snapshots "
+                f"WHERE TRY_CAST(summary['external-id'] AS BIGINT)"
+                f" <= {int(after_snapshot)} "
+                "ORDER BY TRY_CAST(summary['external-id'] AS BIGINT) DESC "
+                "LIMIT 1"
+            ).head()
+            if row:
+                reader = reader.option("start-snapshot-id", str(row[0]))
         return reader.load(f"{self.catalog}.{table}")
 
     def release_leases(self, table: str | None = None) -> int:

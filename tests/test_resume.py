@@ -385,3 +385,43 @@ def test_stream_provenance_guard_misseeded_store(spark, tmp_path):
     fn2(docs, 0)
     fn2(docs, 0)  # replay: no raise, no double-append
     assert store2.snapshots(dd.LSH_INDEX_TABLE) == [1]
+
+
+def test_compact_preserves_provenance_and_lease_lapse_is_loud(spark, tmp_path):
+    # self-review r6 pass 2:
+    # (a) compact keeps the surviving snapshot's provenance stamp — a
+    #     post-compact Spark replay of that micro-batch must classify as
+    #     benign, not "mis-seeded" (which would crash-loop the stream);
+    # (b) vacuum_orphans refuses to run under a live lease (it would
+    #     delete the gc-deferred dirs compact just protected);
+    # (c) a heartbeat that arrives after the TTL is LOUD (LeaseLapsed),
+    #     never a silent resurrection of a fence that already lapsed.
+    import time as _time
+
+    from go_log_forwarder_spark.sources.storage import LeaseLapsed
+
+    store = ParquetSnapshotStore(str(tmp_path))
+    t = "prov"
+    stamp1 = {"consumer": "c", "batch_id": 1}
+    stamp2 = {"consumer": "c", "batch_id": 2}
+    store.append(spark.range(0, 5).toDF("v"), t, snapshot_id=1, meta=stamp1)
+    store.append(spark.range(5, 9).toDF("v"), t, snapshot_id=2, meta=stamp2)
+    store.set_checkpoint(t, "c", 2)
+    store.release_leases()
+    assert store.compact(spark, t, target_mb=1) == 2
+    assert store.manifest_meta(t, 2) == stamp2  # (a) survived the fold
+    with pytest.raises(ValueError, match="already committed"):
+        store.append(spark.range(9, 12).toDF("v"), t, snapshot_id=2, meta=stamp2)
+
+    # (b) vacuum is lease-aware
+    reader = ParquetSnapshotStore(str(tmp_path))
+    reader.read(spark, t)
+    assert store.vacuum_orphans(t, older_than_sec=0.0) == 0
+    reader.release_leases()
+
+    # (c) lapsed heartbeat raises
+    slow = ParquetSnapshotStore(str(tmp_path), lease_ttl_sec=0.15)
+    slow.read(spark, t)
+    _time.sleep(0.3)
+    with pytest.raises(LeaseLapsed):
+        slow.touch_leases(t)
