@@ -987,6 +987,57 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
 
 
+def posting_cosine_pairs(
+    a: DataFrame, b: DataFrame, threshold_micro: int
+) -> DataFrame:
+    """Cosine near-dup pairs between two posting relations (id, v, norm2,
+    centroid): bucket equi-join on the centroid — vectors in different IVF
+    buckets are never compared (the same recall/cost trade
+    :func:`ivf_topk` makes; a boundary pair split across buckets is missed
+    by design, like LSH banding misses below its design point). Emits
+    (id_a < id_b, cosine_micro >= threshold_micro), deduplicated — safe
+    when ``a`` and ``b`` overlap."""
+    pa, pb = a.alias("a"), b.alias("b")
+    joined = pa.join(pb, F.col("a.centroid") == F.col("b.centroid")).filter(
+        F.col("a.id") != F.col("b.id")
+    )
+    cos = int_dot(F.col("a.v"), F.col("b.v")).cast("double") / F.sqrt(
+        F.col("a.norm2").cast("double") * F.col("b.norm2").cast("double")
+    )
+    return (
+        joined.withColumn("cosine_micro", F.floor(cos * 1000000.0 + 0.5).cast("bigint"))
+        .filter(F.col("cosine_micro") >= threshold_micro)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            "cosine_micro",
+        )
+        .distinct()
+    )
+
+
+def embedding_incremental_pairs(
+    spark: SparkSession, store, snapshot_id: int, threshold: float = 0.92
+) -> DataFrame:
+    """Incremental embedding near-dup — the third dedup family goes
+    incremental (LSH bands and span counts already do): cosine pairs
+    involving at least one vector of postings snapshot ``snapshot_id``,
+    computed entirely off the PERSISTED index (new x old + new x new
+    centroid-bucket join; old vectors were quantized and assigned exactly
+    once, by their own batch's :func:`ann_index_assign_increment`). Old x
+    old pairs were emitted by earlier runs, so the union of every run's
+    output equals the one-shot bucket-pair relation over the full posting
+    set under the same frozen centroids — pinned by
+    test_embedding_incremental_pairs. Scale shape: two FileScans of the
+    centroid-partitioned posting index; no embedding is ever re-read from
+    the corpus, nothing retrains."""
+    new = store.read(spark, ANN_POSTINGS_TABLE, after_snapshot=snapshot_id - 1)
+    allp = store.read(spark, ANN_POSTINGS_TABLE)
+    if new is None or allp is None:
+        raise ValueError(f"snapshot {snapshot_id} not committed to {ANN_POSTINGS_TABLE}")
+    return posting_cosine_pairs(new, allp, int(threshold * 1e6))
+
+
 def ann_pq_train(
     store,
     emb: DataFrame,

@@ -1490,3 +1490,40 @@ def test_subword_vocab_persist_roundtrip(spark, docs_df, tmp_path):
     unseen = spark.createDataFrame([(99, "ûnseen")], "doc_id long, text string")
     with _pytest.raises(Exception, match="not in vocab"):
         sw.encode_docs(unseen, frozen).collect()
+
+
+def test_embedding_incremental_pairs(spark, tmp_path):
+    # the third dedup family goes incremental (round 6): near-dup cosine
+    # pairs per batch off the PERSISTED posting index — new x (old + new)
+    # bucket join, old vectors never re-scored against each other — and the
+    # union of per-batch outputs equals the one-shot bucket-pair relation
+    # over the full posting set under the same frozen centroids, exactly.
+    from go_log_forwarder_spark.sources.storage import ParquetSnapshotStore
+
+    emb = _ann_emb(spark)
+    store = ParquetSnapshotStore(str(tmp_path))
+    sim.ann_index_train(store, emb, k=4, iters=2)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    s1 = sim.ann_index_assign_increment(spark, store, b1)
+    p1 = sim.embedding_incremental_pairs(spark, store, s1, threshold=0.5)
+    rows1 = {(r["id_a"], r["id_b"], r["cosine_micro"]) for r in p1.collect()}
+    s2 = sim.ann_index_assign_increment(spark, store, b2)
+    p2df = sim.embedding_incremental_pairs(spark, store, s2, threshold=0.5)
+    # everything reaches the plan as persisted snap= FileScans — no corpus
+    # re-read, no training aggregate
+    files = p2df.inputFiles()
+    assert files and all("snap=" in f for f in files)
+    assert "posexplode" not in _executed_plan(spark, p2df).lower()
+    rows2 = {(r["id_a"], r["id_b"], r["cosine_micro"]) for r in p2df.collect()}
+    assert not (rows1 & rows2)  # old x old never re-emitted
+
+    full = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.posting_cosine_pairs(
+            store.read(spark, sim.ANN_POSTINGS_TABLE, lease=False),
+            store.read(spark, sim.ANN_POSTINGS_TABLE, lease=False),
+            int(0.5 * 1e6),
+        ).collect()
+    }
+    assert rows1 | rows2 == full and len(full) > 0
