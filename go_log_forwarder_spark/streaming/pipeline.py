@@ -303,6 +303,8 @@ def incremental_ann_batch_fn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     consumer: str = "ann_stream",
+    pairs_dir: str | None = None,
+    pair_threshold: float = 0.92,
 ):
     """foreachBatch body maintaining the PERSISTED ANN index from a vector
     stream — the ANN sibling of :func:`incremental_lsh_batch_fn`, same
@@ -336,7 +338,16 @@ def incremental_ann_batch_fn(
             )
         except ValueError:
             _replay_or_raise(store, sim.ANN_POSTINGS_TABLE, sid, consumer)
-        store.release_leases(sim.ANN_CENTROIDS_TABLE)
+        if pairs_dir is not None:
+            # full streaming embedding-dedup: near-dup pairs involving this
+            # batch, off the persisted index (new x old + new x new bucket
+            # join; old x old pairs were emitted by earlier batches), to an
+            # idempotent batch= overwrite — union-of-batches == the
+            # one-shot bucket-pair relation under the frozen centroids
+            sim.embedding_incremental_pairs(
+                spark, store, sid, threshold=pair_threshold
+            ).write.mode("overwrite").parquet(os.path.join(pairs_dir, f"batch={sid}"))
+        store.release_leases()
         store.set_checkpoint(sim.ANN_POSTINGS_TABLE, consumer, sid)
 
     return process

@@ -518,8 +518,10 @@ def test_stream_incremental_ann_crash_resume(spark, tmp_path):
 
     indir = str(tmp_path / "in")
     ckpt = str(tmp_path / "ckpt")
+    pairs_dir = str(tmp_path / "pairs")
     seen: list[int] = []
-    inner = incremental_ann_batch_fn(spark, store)
+    inner = incremental_ann_batch_fn(spark, store, pairs_dir=pairs_dir,
+                                     pair_threshold=0.5)
 
     def fn(batch_df, batch_id):
         seen.append(batch_id)
@@ -561,6 +563,20 @@ def test_stream_incremental_ann_crash_resume(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+    # streaming embedding-dedup output: union of per-batch pair files ==
+    # the one-shot bucket-pair relation over all postings (old x old pairs
+    # came from batch 1's file, never re-emitted by batch 2)
+    got_pairs = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    allp = store.read(spark, sim.ANN_POSTINGS_TABLE, lease=False)
+    want_pairs = {
+        (r["id_a"], r["id_b"], r["cosine_micro"])
+        for r in sim.posting_cosine_pairs(allp, allp, int(0.5 * 1e6)).collect()
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
 
     # quiescent-point compaction folds the per-batch posting files while
     # KEEPING the centroid= layout (partition_by is the caller-owned spec)
