@@ -574,8 +574,17 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds BOTH row kinds below; materialize its small result (~97k rows)
     # once instead of re-deriving the whole find for the cleaner — the same
     # reuse spans_full gets via parquet, kept in-plan here because the
-    # relation is tiny and per-evaluation
+    # relation is tiny and per-evaluation. The eager checkpoint makes the
+    # find's wall seconds observable for free — recorded per evaluation so
+    # BENCH_DETAIL can attribute the row's dominant kind (VERDICT r6
+    # item 1b: per-kind cost legibility without extra materializations).
+    import time as _time
+
+    _t0 = _time.perf_counter()
     tok_spans = dd.token_substring_spans(toks).localCheckpoint(eager=True)
+    PHASE_TIMES.setdefault("dedup_substring_spans", {})["tok_find_last_eval_sec"] = (
+        round(_time.perf_counter() - _t0, 4)
+    )
     tok_span_rows = tok_spans.select(
         F.lit("tok_span").alias("kind"),
         "doc_id",

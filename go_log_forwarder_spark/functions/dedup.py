@@ -599,6 +599,13 @@ def substring_spans(
     return _global_dup_spans(shingle_positions(df, n, text_col, id_col), n)
 
 
+DUP_BROADCAST_ROWS = 2_000_000  # ~48 MB at 24 B/key: above this the dup-hash
+# set joins through a plain shuffle — the relation is bounded by DISTINCT
+# REPEATED shingles (data-dependent, unbounded at 100 TB), so broadcasting it
+# unconditionally would be an executor/driver OOM; same count-gated pattern
+# as similarity.SEED_BROADCAST_ROWS.
+
+
 def _global_dup_spans(sp: DataFrame, n: int) -> DataFrame:
     """Steps 2-4 of the span-dedup shape over a (id, pos, h) shingle
     relation: the fingerprint-partitioned >= 2 count index, the semi-join
@@ -606,22 +613,30 @@ def _global_dup_spans(sp: DataFrame, n: int) -> DataFrame:
     (:func:`substring_spans`) and token (:func:`token_substring_spans`)
     variants, which differ only in how shingles are produced.
 
-    Shape choice, measured (round 6): a window-count formulation
+    Shape choice, measured (rounds 6-7): a window-count formulation
     (count(*) OVER (PARTITION BY h)) computes ``sp`` once but ALWAYS
-    shuffles the full position relation by hash. The groupBy+semi-join
-    here recomputes ``sp`` map-side for the probe, and in exchange lets
-    AQE broadcast the duplicated-hash set whenever it is small — the
-    common case on real corpora, where dups are sparse and the corpus
-    then never shuffles by hash at all. The synthetic gate corpus is
-    pathologically dup-heavy (every shingle repeats), which makes the
-    window variant look ~15% faster locally; the semi-join shape is the
-    one that wins at 100 TB on realistic duplication rates."""
+    shuffles the full position relation by hash; a localCheckpoint of
+    ``sp`` also lost to recompute once shingle production got cheap
+    (round 7: 156 s vs 143 s at sf1.0 — materializing the position
+    relation costs more than re-deriving it). The groupBy+semi-join here
+    recomputes ``sp`` map-side for the probe, and in exchange broadcasts
+    the duplicated-hash set whenever it is small, so the corpus never
+    shuffles by hash at all. Round 7 makes that broadcast EXPLICIT and
+    count-gated: the dup set is checkpointed (it is needed twice anyway:
+    once to size it, once to join), and joins broadcast only under
+    ``DUP_BROADCAST_ROWS`` — AQE alone converts the join too late, after
+    the probe side's shuffle map stage already ran (measured 34 s of
+    wasted shuffle write at sf1.0). Above the gate the join degrades to
+    the plain shuffle semi-join, which is the 100 TB-safe fallback."""
     dup_h = (
         sp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= 2)
         .select("h")
+        .localCheckpoint(eager=True)
     )
+    if dup_h.count() <= DUP_BROADCAST_ROWS:
+        dup_h = F.broadcast(dup_h)
     return _spans_from_dup_positions(sp.join(dup_h, "h", "left_semi"), n)
 
 
@@ -631,24 +646,97 @@ def token_shingle_positions(
     """(id, pos, h): each token ``n``-gram with its 1-based start position —
     the tokens-native sibling of :func:`shingle_positions` (VERDICT r5
     item 1: Lee et al. span dedup is defined over token sequences, and the
-    graft input is ``(doc_id, tokens array<int>)``). The key is the RAW
-    space-joined decimal rendering, not a hash: token n-grams are short
-    (~25 bytes), so the md5+conv the word path pays (long word shingles,
-    compact persisted index) buys nothing here — the raw key is ~40%
-    cheaper to produce AND collision-free, and both engines compare it
-    bit-for-bit. Map-side only."""
-    strs = F.transform(F.col(tokens_col), lambda t: t.cast("string"))
-    with_t = df.select(F.col(id_col).alias("id"), strs.alias("_ts"))
-    grams = F.when(
-        F.size(F.col("_ts")) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("_ts")) - n + 1),
-            lambda i: F.array_join(F.slice(F.col("_ts"), i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return with_t.select("id", F.posexplode(grams).alias("pos0", "h")).select(
-        "id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"
+    graft input is ``(doc_id, tokens array<int>)``). The key is an
+    INJECTIVE integer packing, not a string and not a hash: consecutive
+    token pairs pack into one bigint each ((hi << 32) | unsigned(lo), an
+    odd tail token rides alone), so the key is a struct of ceil(n/2)
+    bigints. Exactly collision-free for any int32 token values — two
+    n-grams share a key iff they are the same token sequence, the same
+    equivalence classes as round 6's space-joined decimal rendering, so
+    every downstream span is identical. Chosen over the r6 string key by
+    measurement (optimization round 7): rendering + joining 5 decimal
+    strings per position dominated the whole span row (83 s of the 291 s
+    sf1.0 row was this map-side pass alone); the packed form is pure
+    integer arithmetic, ~16-24 B/key, and cheaper to hash, shuffle and
+    compare. ``id_col`` must be numeric (it is cast to bigint for the
+    fixed Arrow schema — the graft table's doc ids are numeric, see
+    ``__spark_entry__``).
+
+    The pass runs as a vectorized ``mapInArrow`` kernel (guide §4.2): a
+    Catalyst transform-lambda + posexplode formulation of the same packing
+    is interpreted per element (higher-order functions do not participate
+    in whole-stage codegen) and measured 53 s at sf1.0 where the numpy
+    sliding-window kernel takes 19 s — the whole batch is one contiguous
+    Arrow values buffer, so every gram word is one vectorized shift-or
+    over strided views. Map-side only; only (id, tokens) cross the Python
+    boundary."""
+    el_t = df.schema[tokens_col].dataType.elementType.typeName()
+    if el_t not in ("integer", "short", "byte"):
+        raise ValueError(
+            f"token_shingle_positions packs int32-range token ids; got "
+            f"array<{el_t}> for {tokens_col!r}"
+        )
+    n_words = (n + 1) // 2
+    kernel = _token_shingle_kernel(n, n_words)
+    flat_schema = "id bigint, pos bigint, " + ", ".join(
+        f"h{k} bigint" for k in range(n_words)
     )
+    flat = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(tokens_col).alias("_ts")
+    ).mapInArrow(kernel, flat_schema)
+    return flat.select(
+        "id", "pos", F.struct(*[f"h{k}" for k in range(n_words)]).alias("h")
+    )
+
+
+def _token_shingle_kernel(n: int, n_words: int):
+    """Build the sliding-window shingle kernel for :func:`token_shingle_
+    positions`: per Arrow batch, flatten the token lists to one contiguous
+    int64 array, index every n-gram start with strided arithmetic, and
+    pack consecutive token pairs into bigint key words — all numpy, no
+    per-row Python. NULL token arrays contribute no grams (the Catalyst
+    ``when(size >= n)`` guard's behavior); NULL token VALUES are rejected
+    loudly (the values buffer is undefined there — silent garbage keys
+    would be far worse than an error)."""
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        MASK = np.int64(4294967295)
+        for batch in it:
+            ids = np.asarray(batch.column(0)).astype(np.int64)
+            tok = batch.column(1)
+            if tok.values.null_count:
+                raise ValueError(
+                    "token_shingle_positions: NULL token values unsupported"
+                )
+            lens = pc.fill_null(pc.list_value_length(tok), 0)
+            lens = np.asarray(lens).astype(np.int64)
+            offs = np.asarray(tok.offsets).astype(np.int64)
+            vals = np.asarray(tok.values).astype(np.int64)
+            m = np.maximum(lens - n + 1, 0)
+            total = int(m.sum())
+            if total == 0:
+                continue
+            row_idx = np.repeat(np.arange(len(lens)), m)
+            gstart = np.repeat(offs[:-1], m)
+            pos0 = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+            g0 = gstart + pos0
+            cols = [pa.array(ids[row_idx]), pa.array(pos0 + 1)]
+            for k in range(n_words):
+                hi = vals[g0 + 2 * k]
+                if 2 * k + 1 < n:
+                    lo = vals[g0 + 2 * k + 1]
+                    cols.append(pa.array((hi << 32) | (lo & MASK)))
+                else:
+                    cols.append(pa.array(hi))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=["id", "pos"] + [f"h{k}" for k in range(n_words)]
+            )
+
+    return kernel
 
 
 def token_substring_spans(
@@ -669,11 +757,19 @@ def remove_repeated_token_spans(
     id_col: str = "doc_id", spans: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY half of token-level span dedup: drop every token covered by a
-    repeated-substring span. Same Catalyst-HOF shape as
-    :func:`remove_repeated_spans` (tiny span relation collected per doc and
+    repeated-substring span (tiny span relation collected per doc and
     left-joined back; the token arrays are never exploded and never cross a
     shuffle). Returns (doc_id, clean_tokens array<int>, n_kept, n_removed)
-    for EVERY input document."""
+    for EVERY input document.
+
+    Round 7 reshapes the drop from a per-TOKEN ``filter(exists(spans))``
+    HOF — O(n_tok x spans) interpreted lambda calls per doc, the dominant
+    cost of the tok_clean kind at sf1.0 — to a per-SPAN gap slice: the
+    doc's spans are sorted and overlap-merged (a no-op for find output,
+    which is already disjoint, but keeps the function correct for
+    arbitrary caller-supplied span relations), and ``clean_tokens`` is the
+    concatenation of the inter-span slices — O(spans) array ops per doc,
+    identical coverage, identical order."""
     if spans is None:
         spans = token_substring_spans(df, n, tokens_col, id_col)
     span_t = "array<struct<span_start:bigint,span_end:bigint>>"
@@ -684,18 +780,56 @@ def remove_repeated_token_spans(
     joined = docs.join(sp_agg, "doc_id", "left").withColumn(
         "_spans", F.coalesce(F.col("_spans"), F.array().cast(span_t))
     )
-    kept = F.filter(
-        F.col("_ts"),
-        lambda t, i: ~F.exists(
-            F.col("_spans"),
-            lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
-        ),
-    )
+    merged = _merge_span_array(F.array_sort(F.col("_spans")), span_t)
+    joined = joined.withColumn("_m", merged)
+    m = F.col("_m")
+    n_tok = F.size("_ts")
+
+    def _gap_slice(i):
+        # slice strictly between merged span i and span i+1 (i = 0 -> head,
+        # i = size -> tail); spans are 1-based inclusive and within bounds
+        start = F.when(i == 0, F.lit(1)).otherwise(
+            F.element_at(m, i)["span_end"] + 1
+        )
+        end_excl = F.when(i == F.size(m), n_tok.cast("bigint") + 1).otherwise(
+            F.element_at(m, i + 1)["span_start"]
+        )
+        return F.slice(
+            F.col("_ts"),
+            start.cast("int"),
+            F.greatest(end_excl - start, F.lit(0).cast("bigint")).cast("int"),
+        )
+
+    kept = F.flatten(F.transform(F.sequence(F.lit(0), F.size(m)), _gap_slice))
     return joined.select(
         "doc_id",
         kept.alias("clean_tokens"),
         F.size(kept).cast("bigint").alias("n_kept"),
-        (F.size("_ts") - F.size(kept)).cast("bigint").alias("n_removed"),
+        (n_tok - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def _merge_span_array(sorted_spans, span_t: str):
+    """Fold a SORTED span-struct array into its disjoint overlap-merge
+    (touching spans merge too — coverage-identical either way)."""
+    return F.aggregate(
+        sorted_spans,
+        F.array().cast(span_t),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s["span_start"] <= F.element_at(acc, -1)["span_end"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["span_start"].alias("span_start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["span_end"], s["span_end"]
+                        ).alias("span_end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
     )
 
 

@@ -314,6 +314,70 @@ def test_token_substring_spans_golden_and_oracle(spark):
     }
 
 
+def test_token_shingle_packed_key_edges(spark):
+    # r7 optimization pins: the Arrow sliding-window kernel's packed-int key
+    # must behave exactly like the r6 string key's equality classes — docs
+    # shorter than n contribute nothing, NULL token arrays contribute
+    # nothing, negative int32 values pack injectively (unsigned low word),
+    # and an EVEN n leaves the tail token in its own key word.
+    corpus = [
+        (1, [-1, -2, 3]),          # negative values, exactly n=3 long
+        (2, [-1, -2, 3]),          # duplicate of 1 -> both fully spanned
+        (3, [7, 8]),               # shorter than n -> no shingles
+        (4, None),                 # NULL array -> no shingles
+        # -1 vs -2 in the low half-word must NOT collide with each other
+        (5, [-1, -2, -2]),
+        (6, [-1, -1, -2]),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, tokens array<int>")
+    sp = dd.token_shingle_positions(df, n=3).collect()
+    by_doc = {}
+    for r in sp:
+        by_doc.setdefault(r["id"], []).append((r["pos"], tuple(r["h"])))
+    assert sorted(by_doc) == [1, 2, 5, 6]          # docs 3, 4 emit nothing
+    assert by_doc[1] == by_doc[2]                  # identical grams, same key
+    keys = {by_doc[d][0][1] for d in (1, 2, 5, 6)}
+    assert len(keys) == 3                          # 5 and 6 collide with nobody
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dd.token_substring_spans(df, n=3).collect()
+    }
+    assert spans == {(1, 1, 3), (2, 1, 3)}
+
+    # even n: tail token packs alone — a doc differing ONLY in the tail
+    # token of the 2-gram must not share a key
+    df2 = spark.createDataFrame(
+        [(1, [5, 6]), (2, [5, 7]), (3, [5, 6])], "doc_id long, tokens array<int>"
+    )
+    sp2 = {(r["id"], tuple(r["h"])) for r in dd.token_shingle_positions(df2, n=2).collect()}
+    assert len({h for _, h in sp2}) == 2
+    assert {i for i, _ in sp2} == {1, 2, 3}
+
+
+def test_remove_token_spans_overlapping_caller_spans(spark):
+    # r7 optimization pins the gap-slice cleaner against arbitrary
+    # caller-supplied span relations: overlapping, touching and duplicate
+    # spans must drop exactly the union of covered positions (the r6
+    # exists()-filter semantics).
+    df = spark.createDataFrame(
+        [(1, [10, 11, 12, 13, 14, 15, 16, 17]), (2, [1, 2, 3])],
+        "doc_id long, tokens array<int>",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 4), (1, 3, 5),   # overlap -> covers 2..5
+            (1, 6, 6), (1, 6, 6),   # duplicate single -> covers 6 (touches 5)
+            (2, 1, 3),              # whole doc
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r["doc_id"]: (r["clean_tokens"], r["n_kept"], r["n_removed"])
+        for r in dd.remove_repeated_token_spans(df, spans=spans).collect()
+    }
+    assert got == {1: ([10, 16, 17], 3, 5), 2: ([], 0, 3)}
+
+
 def test_jaccard_pairs_golden(spark, docs_df):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard_micro"]
