@@ -36,6 +36,7 @@ from go_log_forwarder_spark.functions import similarity as sim
 from go_log_forwarder_spark.functions import sketch as sk
 from go_log_forwarder_spark.functions import subword as sw
 from go_log_forwarder_spark.functions import textstats as ts
+from go_log_forwarder_spark.functions import tokenops as tk
 from go_log_forwarder_spark.operators.partitioning import salted_repartition
 from go_log_forwarder_spark.operators.routing import SinkSpec, route_exploded
 from go_log_forwarder_spark.sources.tokens import (
@@ -181,8 +182,17 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_routed_rows_err_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1/R2 routed-row equality for the prefix sink (full row set)."""
-    routed = route_exploded(_kept(spark, sf_dir), SINKS)
+    """R1/R2 routed-row equality for the prefix sink (full row set).
+
+    Round 7: route only the sink the filter keeps — Catalyst cannot push
+    ``sink == 'sink_err'`` through the explode, so routing all six sinks
+    first built a 6x row blowup and discarded 5/6 of it (guide §2.4:
+    don't compute what you throw away). Routing the single matching
+    SinkSpec emits exactly the rows the old filter kept: route_exploded
+    drops rows matching no sink, and every surviving row carries
+    sink == 'sink_err'. The filter stays as a (now no-op) guard."""
+    err = [s for s in SINKS if s.name == "sink_err"]
+    routed = route_exploded(_kept(spark, sf_dir), err)
     return routed.filter(F.col("sink") == "sink_err").select(
         "event_id", "tag", "source", F.col("parsed")["k"].cast("bigint").alias("k")
     )
@@ -280,18 +290,20 @@ def q_tokens_roundtrip_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsortable/unhashable in its pandas path (round-1 driver error)."""
     toks = tokens_from_events(spark, sf_dir)
     parsed = parse_tokens_raw(serialize_tokens(toks))
-    digest = F.md5(
-        F.array_join(
-            F.transform(F.col("parsed.tokens"), lambda x: x.cast("string")), ","
-        )
-    )
-    return parsed.select(
+    # round 7: the md5 digest of the parsed array goes through the
+    # vectorized digest kernel (tokenops.joined_digest) — the equality
+    # checks stay JVM-side (codegen'd array compare), only the parsed
+    # array + scalars cross the Arrow boundary
+    flat = parsed.select(
         "doc_id",
-        digest.alias("tokens_md5"),
+        F.col("parsed.tokens").alias("_pt"),
         F.col("parsed.n_tok").alias("n_tok"),
         F.col("parsed.source").alias("source"),
         (F.col("parsed.tokens") == F.col("tokens")).alias("roundtrip_ok"),
         (F.size(F.col("parsed.tokens")) == F.col("parsed.n_tok")).alias("len_ok"),
+    )
+    return tk.joined_digest(flat, "_pt", "tokens_md5").select(
+        "doc_id", "tokens_md5", "n_tok", "source", "roundtrip_ok", "len_ok"
     )
 
 
@@ -593,16 +605,21 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_len").cast("bigint").alias("v3"),
         F.col("n_shingles").cast("bigint").alias("v4"),
     )
-    tok_clean = dd.remove_repeated_token_spans(toks, spans=tok_spans).select(
+    # round 7: the v3 digest (hex60 of the comma-joined surviving token
+    # ids) goes through the vectorized digest kernel instead of an
+    # interpreted per-token transform+array_join chain (bit-exact parity
+    # pinned in tests/test_tokenops.py)
+    tok_clean = tk.joined_digest(
+        dd.remove_repeated_token_spans(toks, spans=tok_spans),
+        "clean_tokens",
+        "_v3",
+        kind="hex60",
+    ).select(
         F.lit("tok_clean").alias("kind"),
         "doc_id",
         F.col("n_kept").alias("v1"),
         F.col("n_removed").alias("v2"),
-        ts.hex60_col(
-            F.array_join(
-                F.transform(F.col("clean_tokens"), lambda t: t.cast("string")), ","
-            )
-        ).alias("v3"),
+        F.col("_v3").alias("v3"),
         F.lit(0).cast("bigint").alias("v4"),
     )
     return spans.unionByName(clean).unionByName(tok_span_rows).unionByName(tok_clean)
@@ -801,9 +818,13 @@ def q_tokens_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffle), kind='doc' rows are the former dedup_exact document
     dedup (md5-text hash-groupBy, hash-green rounds 1-4)."""
     toks = tokens_from_events(spark, sf_dir)
-    key = F.md5(F.array_join(F.transform(F.col("tokens"), lambda x: x.cast("string")), ","))
+    # round 7: the md5 fingerprint renders + joins every token — an
+    # interpreted Catalyst lambda per token; the Arrow kernel (tokenops.
+    # joined_digest, parity-pinned) does the cast+join in C++ per batch
     tok_rel = (
-        toks.select(key.alias("key_hash"), "doc_id", "n_tok")
+        tk.joined_digest(
+            toks.select("tokens", "doc_id", "n_tok"), "tokens", "key_hash"
+        )
         .groupBy("key_hash")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"),
              F.max("n_tok").cast("bigint").alias("n_tok"))
@@ -824,22 +845,16 @@ def q_token_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 20 by (count desc, bigram asc) — the n-gram-stats scan shape."""
     toks = tokens_from_events(spark, sf_dir)
     # Bigrams are ENCODED as one bigint (t1*2^32 + t2, exact for int32
-    # tokens) until the very end: the explode and the count shuffle move
-    # longs, not per-row concat'd strings (string build + string hash on
-    # ~50x row blowup was the dominant cost). The 20 surviving rows get
-    # their display string formatted after the top-k.
-    # NB sequence(1,0) DESCENDS in Spark — guard the n_tok==1 case explicitly
-    enc = F.when(
-        F.col("n_tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tok") - 1),
-            lambda i: F.try_element_at(F.col("tokens"), i).cast("bigint")
-            * F.lit(4294967296).cast("bigint")
-            + F.try_element_at(F.col("tokens"), i + 1).cast("bigint"),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    bigrams = toks.select(F.explode(enc).alias("bg"))
-    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    # tokens) until the very end: the count shuffle moves longs, not
+    # per-row concat'd strings. Round 7 moves the encode + first-level
+    # count into the vectorized Arrow kernel (tokenops.bigram_count_
+    # partials — the interpreted transform-lambda explode was 2/3 of the
+    # row at sf1.0): each task ships pre-reduced (bg, n) partials and the
+    # JVM aggregation only sums them. The 20 surviving rows get their
+    # display string formatted after the top-k.
+    counts = tk.bigram_count_partials(toks).groupBy("bg").agg(
+        F.sum("n").alias("n")
+    )
     decoded = counts.select(
         F.concat(
             F.shiftright(F.col("bg"), 32).cast("string"),
@@ -876,8 +891,13 @@ def q_tokens_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repetition filter) + length window; per-source kept/dropped counts +
     micro-exact mean distinct ratio of kept rows."""
     toks = tokens_from_events(spark, sf_dir)
-    ratio = F.size(F.array_distinct(F.col("tokens"))).cast("double") / F.col("n_tok")
-    scored = toks.withColumn("distinct_micro", ts.micro_col(ratio))
+    # round 7: per-row distinct counting runs in the vectorized kernel
+    # (tokenops.with_distinct_count — one argsort per batch instead of a
+    # JVM hash set per row); the micro fixed-point math stays JVM-side
+    # and is unchanged
+    counted = tk.with_distinct_count(toks.select("tokens", "source", "n_tok"))
+    ratio = F.col("n_distinct").cast("double") / F.col("n_tok")
+    scored = counted.withColumn("distinct_micro", ts.micro_col(ratio))
     kept_pred = (
         (F.col("n_tok") >= 8) & (F.col("n_tok") <= 120) & (F.col("distinct_micro") >= 500000)
     )

@@ -413,18 +413,44 @@ class ParserChain:
     parsers: list = field(default_factory=list)
 
     def apply(self, df, raw_col: str = "raw", ingest_time_col: str = "ingest_time"):
-        result = None  # struct(parsed, parser, canonical, event_time)
-        for p in self.parsers:
+        # Each parser's candidate struct is materialized as its OWN column
+        # (round-7 optimization): the candidate is referenced at least
+        # twice downstream (the next parser's input mask + the final
+        # coalesce), and CollapseProject keeps a multi-referenced non-cheap
+        # alias materialized instead of inlining it — so when a later
+        # parser is a Python UDF (its extraction splits the projection
+        # around an ArrowEvalPython node, whose output projection is NOT
+        # whole-stage-codegen'd and has no common-subexpression
+        # elimination), the earlier parser's from_json/variant work is
+        # computed ONCE in the codegen stage below the Python node and
+        # flows through it as a plain attribute. The round-6 inline-
+        # expression composition re-evaluated the json parse 3x per row
+        # around the UDF boundary (measured: the 2-parser chain cost 6 s/M
+        # rows more than the sum of its 1-parser chains).
+        if not self.parsers:
+            return (
+                df.withColumn("parsed", F.lit(None).cast(PARSED_TYPE))
+                .withColumn("parser", F.lit(None).cast("string"))
+                .withColumn("canonical", F.lit("null"))
+                .withColumn("event_time", F.col(ingest_time_col))
+            )
+        out = df
+        cand_names: list[str] = []
+        for i, p in enumerate(self.parsers):
             # first-match-wins short circuit that survives UDF extraction:
             # a pandas UDF is computed in its own ArrowEvalPython node for
             # EVERY row regardless of the later coalesce, so mask the input
             # to NULL for rows an earlier parser already matched — the
             # kernel's None fast-path skips them.
-            raw = (
-                F.col(raw_col)
-                if result is None
-                else F.when(result.isNull(), F.col(raw_col))
-            )
+            if cand_names:
+                prev = (
+                    F.coalesce(*[F.col(c) for c in cand_names])
+                    if len(cand_names) > 1
+                    else F.col(cand_names[0])
+                )
+                raw = F.when(prev.isNull(), F.col(raw_col))
+            else:
+                raw = F.col(raw_col)
             parsed = p.parsed_col(raw)
             tcol = p.time_col(parsed)
             event_time = (
@@ -446,21 +472,21 @@ class ParserChain:
                     event_time.alias("event_time"),
                 ),
             )
-            result = candidate if result is None else F.coalesce(result, candidate)
-        if result is None:
-            return (
-                df.withColumn("parsed", F.lit(None).cast(PARSED_TYPE))
-                .withColumn("parser", F.lit(None).cast("string"))
-                .withColumn("canonical", F.lit("null"))
-                .withColumn("event_time", F.col(ingest_time_col))
-            )
+            name = f"_cand{i}"
+            out = out.withColumn(name, candidate)
+            cand_names.append(name)
+        result = (
+            F.coalesce(*[F.col(c) for c in cand_names])
+            if len(cand_names) > 1
+            else F.col(cand_names[0])
+        )
         return (
-            df.withColumn("_p", result)
+            out.withColumn("_p", result)
             .withColumn("parsed", F.col("_p.parsed"))
             .withColumn("parser", F.col("_p.parser"))
             .withColumn("canonical", F.coalesce(F.col("_p.canonical"), F.lit("null")))
             .withColumn(
                 "event_time", F.coalesce(F.col("_p.event_time"), F.col(ingest_time_col))
             )
-            .drop("_p")
+            .drop("_p", *cand_names)
         )

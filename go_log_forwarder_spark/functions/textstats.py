@@ -318,12 +318,31 @@ def gopher_cols(text: Column, words: Column | None = None) -> list[Column]:
     ws = words if words is not None else words_col(text)
     n = F.size(ws)
     distinct_n = F.size(F.array_distinct(ws))
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
-        )
+    # most-frequent-word count via max run length over the SORTED word
+    # array — O(n) per doc. The round-6 formulation (count each distinct
+    # word with a nested filter) was O(n x distinct) interpreted lambda
+    # calls and dominated the whole profile at sf1.0 (guide §1.2: fix the
+    # per-task algorithm). Identical value: sorting groups equal words, so
+    # the longest run IS the highest count; empty arrays yield NULL like
+    # array_max over an empty transform did.
+    run_state = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: F.greatest(acc["best"], acc["run"]),
     )
+    top_n = F.when(n > 0, run_state)
     short_n = F.size(F.filter(ws, lambda w: F.length(w) <= 2))
     long_n = F.size(F.filter(ws, lambda w: F.length(w) >= 8))
     return [
