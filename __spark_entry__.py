@@ -579,9 +579,12 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.hex60_col(F.col("clean_text")).alias("v3"),
         F.lit(0).cast("bigint").alias("v4"),
     )
+    # three consumers re-derive the LCG token synthesis otherwise (the
+    # count pass, the probe pass and the cleaner's doc join — ~10 s each
+    # at sf1.0): pin the tokens table once per evaluation
     toks = tokens_from_events(spark, sf_dir).select(
         F.substring("doc_id", 5, 12).cast("bigint").alias("doc_id"), "tokens"
-    )
+    ).localCheckpoint(eager=True)
     # the token-span FIND is the expensive half (6M shingles at sf0.1) and
     # feeds BOTH row kinds below; materialize its small result (~97k rows)
     # once instead of re-deriving the whole find for the cleaner — the same

@@ -606,7 +606,7 @@ DUP_BROADCAST_ROWS = 2_000_000  # ~48 MB at 24 B/key: above this the dup-hash
 # as similarity.SEED_BROADCAST_ROWS.
 
 
-def _global_dup_spans(sp: DataFrame, n: int) -> DataFrame:
+def _global_dup_spans(sp: DataFrame, n: int, counts: DataFrame | None = None) -> DataFrame:
     """Steps 2-4 of the span-dedup shape over a (id, pos, h) shingle
     relation: the fingerprint-partitioned >= 2 count index, the semi-join
     back, and the per-document islands merge — shared by the word
@@ -627,17 +627,142 @@ def _global_dup_spans(sp: DataFrame, n: int) -> DataFrame:
     ``DUP_BROADCAST_ROWS`` — AQE alone converts the join too late, after
     the probe side's shuffle map stage already ran (measured 34 s of
     wasted shuffle write at sf1.0). Above the gate the join degrades to
-    the plain shuffle semi-join, which is the 100 TB-safe fallback."""
+    the plain shuffle semi-join, which is the 100 TB-safe fallback.
+
+    ``counts`` optionally supplies a pre-aggregated (h, n_occ) relation
+    (e.g. kernel-side partial counts summed by the JVM — see
+    :func:`token_shingle_count_partials`) so the index pass never ships
+    raw positions through an aggregation.
+
+    Islands merge: when the dup set broadcasts AND ``sp`` carries an
+    integral id, the probe side never shuffles — rows reach the join
+    map-side, doc-contiguous with ascending positions (both producers,
+    ``posexplode`` and the Arrow shingle kernel, emit a doc's grams
+    consecutively, and a broadcast hash join preserves stream order) —
+    so the merge runs in a streaming Arrow kernel with zero
+    shuffle/sort, replacing the window formulation's Exchange + per-
+    partition sort (21 s of the sf1.0 find). The kernel guards its
+    order invariant at runtime (revisited doc id or non-ascending
+    positions raise). The shuffle-join fallback keeps the window shape —
+    its shuffle destroys contiguity anyway."""
+    src = counts if counts is not None else sp.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
     dup_h = (
-        sp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= 2)
+        src.filter(F.col("n_occ") >= 2)
         .select("h")
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import types as T
+
     if dup_h.count() <= DUP_BROADCAST_ROWS:
-        dup_h = F.broadcast(dup_h)
+        dup_pos = sp.join(F.broadcast(dup_h), "h", "left_semi")
+        if isinstance(sp.schema["id"].dataType, (T.LongType, T.IntegerType)):
+            return _dup_span_islands_arrow(dup_pos, n)
+        return _spans_from_dup_positions(dup_pos, n)
     return _spans_from_dup_positions(sp.join(dup_h, "h", "left_semi"), n)
+
+
+def _dup_span_islands_arrow(dup_pos: DataFrame, n: int) -> DataFrame:
+    """Streaming islands merge over an (id, pos) relation that is doc-
+    contiguous with ascending positions within every partition (see
+    :func:`_global_dup_spans` for why the broadcast path guarantees it):
+    one vectorized pass finds the gap>n breaks, emits completed spans per
+    batch and carries the open tail run across batches. Output is
+    identical to :func:`_spans_from_dup_positions` — same fields, same
+    1-based inclusive indexes — with zero shuffle and zero sort. Both
+    invariants are asserted per batch; a violation raises instead of
+    silently merging wrong islands."""
+
+    NAMES = ["doc_id", "span_start", "span_end", "span_len", "n_shingles"]
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        seen: set[int] = set()
+        cur = None  # open run: [id, start_pos, last_pos, count]
+
+        def span_of(run):
+            i, s, last, c = run
+            return (i, s, last + n - 1, last + n - s, c)
+
+        for batch in it:
+            ids = np.asarray(batch.column(0)).astype(np.int64)
+            pos = np.asarray(batch.column(1)).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            same = ids[1:] == ids[:-1]
+            d = pos[1:] - pos[:-1]
+            if np.any(same & (d <= 0)):
+                raise RuntimeError(
+                    "islands kernel: positions not strictly ascending within a doc"
+                )
+            starts = np.concatenate(
+                ([0], np.flatnonzero(~same | (d > n)) + 1, [len(ids)])
+            )
+            s_arr, e_arr = starts[:-1], starts[1:]
+            seg_id = ids[s_arr]
+            seg_sp = pos[s_arr].copy()
+            seg_ep = pos[e_arr - 1]
+            seg_cnt = (e_arr - s_arr).astype(np.int64)
+            flushed = None
+            if cur is not None:
+                gap = int(seg_sp[0]) - cur[2]
+                if int(seg_id[0]) == cur[0] and gap <= n:
+                    if gap <= 0:
+                        raise RuntimeError(
+                            "islands kernel: positions not strictly ascending within a doc"
+                        )
+                    seg_sp[0] = cur[1]
+                    seg_cnt[0] += cur[3]
+                else:
+                    flushed = span_of(cur)
+                    if int(seg_id[0]) != cur[0]:
+                        seen.add(cur[0])
+                cur = None
+            # contiguity guard: only id TRANSITIONS need set bookkeeping —
+            # O(docs per batch), not O(segments)
+            trans = np.flatnonzero(
+                np.concatenate(([True], seg_id[1:] != seg_id[:-1]))
+            )
+            prev = None
+            for t in trans:
+                i = int(seg_id[t])
+                if prev is not None:
+                    seen.add(prev)
+                if i in seen:
+                    raise RuntimeError(
+                        "islands kernel: doc id revisited — input not doc-contiguous"
+                    )
+                prev = i
+            # segments 0..K-2 are complete; the last stays open (carried)
+            K = len(s_arr)
+            cur = [int(seg_id[K - 1]), int(seg_sp[K - 1]), int(seg_ep[K - 1]), int(seg_cnt[K - 1])]
+            cols = [
+                seg_id[: K - 1],
+                seg_sp[: K - 1],
+                seg_ep[: K - 1] + (n - 1),
+                seg_ep[: K - 1] + n - seg_sp[: K - 1],
+                seg_cnt[: K - 1],
+            ]
+            if flushed is not None:
+                f = np.array(flushed, dtype=np.int64)
+                cols = [np.concatenate(([f[i]], c)) for i, c in enumerate(cols)]
+            if len(cols[0]):
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c) for c in cols], names=NAMES
+                )
+        if cur is not None:
+            f = np.array([span_of(cur)], dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(f[:, i]) for i in range(5)], names=NAMES
+            )
+
+    return dup_pos.select("id", "pos").mapInArrow(
+        kernel,
+        "doc_id bigint, span_start bigint, span_end bigint, span_len bigint, n_shingles bigint",
+    )
 
 
 def token_shingle_positions(
@@ -689,15 +814,46 @@ def token_shingle_positions(
     )
 
 
-def _token_shingle_kernel(n: int, n_words: int):
+def token_shingle_count_partials(
+    df: DataFrame, n: int = SPAN_NGRAM, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Per-task PARTIAL counts of the packed shingle keys: (h, n_occ) with
+    the same injective packing as :func:`token_shingle_positions` but
+    pre-reduced per Arrow batch (one lexsort + boundary count in numpy),
+    so the dup-index aggregation ships ~distinct-keys-per-task rows into
+    the JVM instead of one row per position. Sum over ``h`` to get global
+    occurrence counts — exactly ``token_shingle_positions(...).groupBy(h)
+    .count()``."""
+    el_t = df.schema[tokens_col].dataType.elementType.typeName()
+    if el_t not in ("integer", "short", "byte"):
+        raise ValueError(
+            f"token_shingle_count_partials packs int32-range token ids; got "
+            f"array<{el_t}> for {tokens_col!r}"
+        )
+    n_words = (n + 1) // 2
+    kernel = _token_shingle_kernel(n, n_words, counts=True)
+    flat_schema = (
+        ", ".join(f"h{k} bigint" for k in range(n_words)) + ", n_occ bigint"
+    )
+    flat = df.select(F.lit(0).cast("bigint").alias("id"), F.col(tokens_col).alias("_ts")).mapInArrow(
+        kernel, flat_schema
+    )
+    return flat.select(
+        F.struct(*[f"h{k}" for k in range(n_words)]).alias("h"), "n_occ"
+    )
+
+
+def _token_shingle_kernel(n: int, n_words: int, counts: bool = False):
     """Build the sliding-window shingle kernel for :func:`token_shingle_
     positions`: per Arrow batch, flatten the token lists to one contiguous
     int64 array, index every n-gram start with strided arithmetic, and
     pack consecutive token pairs into bigint key words — all numpy, no
-    per-row Python. NULL token arrays contribute no grams (the Catalyst
-    ``when(size >= n)`` guard's behavior); NULL token VALUES are rejected
-    loudly (the values buffer is undefined there — silent garbage keys
-    would be far worse than an error)."""
+    per-row Python. With ``counts=True`` the kernel instead emits per-batch
+    PARTIAL key counts (lexsort + boundary diff). NULL token arrays
+    contribute no grams (the Catalyst ``when(size >= n)`` guard's
+    behavior); NULL token VALUES are rejected loudly (the values buffer is
+    undefined there — silent garbage keys would be far worse than an
+    error)."""
 
     def kernel(it):
         import numpy as np
@@ -724,17 +880,34 @@ def _token_shingle_kernel(n: int, n_words: int):
             gstart = np.repeat(offs[:-1], m)
             pos0 = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
             g0 = gstart + pos0
-            cols = [pa.array(ids[row_idx]), pa.array(pos0 + 1)]
+            hs = []
             for k in range(n_words):
                 hi = vals[g0 + 2 * k]
                 if 2 * k + 1 < n:
                     lo = vals[g0 + 2 * k + 1]
-                    cols.append(pa.array((hi << 32) | (lo & MASK)))
+                    hs.append((hi << 32) | (lo & MASK))
                 else:
-                    cols.append(pa.array(hi))
-            yield pa.RecordBatch.from_arrays(
-                cols, names=["id", "pos"] + [f"h{k}" for k in range(n_words)]
-            )
+                    hs.append(hi)
+            if counts:
+                order = np.lexsort(tuple(reversed(hs)))
+                hs_s = [h[order] for h in hs]
+                change = np.zeros(total, dtype=bool)
+                change[0] = True
+                for h in hs_s:
+                    change[1:] |= h[1:] != h[:-1]
+                idx = np.flatnonzero(change)
+                cnt = np.diff(np.append(idx, total)).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(h[idx]) for h in hs_s] + [pa.array(cnt)],
+                    names=[f"h{k}" for k in range(n_words)] + ["n_occ"],
+                )
+            else:
+                cols = [pa.array(ids[row_idx]), pa.array(pos0 + 1)] + [
+                    pa.array(h) for h in hs
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=["id", "pos"] + [f"h{k}" for k in range(n_words)]
+                )
 
     return kernel
 
@@ -746,10 +919,19 @@ def token_substring_spans(
     et al. 2021 actually define (their suffix array is built over the
     tokenized corpus), run on the graft's own input table. Same distributed
     shape as :func:`substring_spans` (map-side shingles, ONE partial-agg
-    shuffle of hashes, semi-join back, per-doc islands window); returns
+    shuffle of hashes, semi-join back, per-doc islands merge); returns
     (doc_id, span_start, span_end, span_len, n_shingles) with 1-based
-    inclusive TOKEN indexes."""
-    return _global_dup_spans(token_shingle_positions(df, n, tokens_col, id_col), n)
+    inclusive TOKEN indexes. The dup index aggregates kernel-side partial
+    counts (:func:`token_shingle_count_partials`) so raw positions never
+    enter the JVM aggregation."""
+    counts = (
+        token_shingle_count_partials(df, n, tokens_col)
+        .groupBy("h")
+        .agg(F.sum("n_occ").alias("n_occ"))
+    )
+    return _global_dup_spans(
+        token_shingle_positions(df, n, tokens_col, id_col), n, counts=counts
+    )
 
 
 def remove_repeated_token_spans(

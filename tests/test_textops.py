@@ -354,6 +354,43 @@ def test_token_shingle_packed_key_edges(spark):
     assert {i for i, _ in sp2} == {1, 2, 3}
 
 
+def test_islands_kernel_matches_window_formulation(spark):
+    # r7 optimization pins the streaming Arrow islands merge (zero
+    # shuffle, broadcast path) against the window formulation on a corpus
+    # big enough to span several Arrow batches (default 10k rows/batch):
+    # multi-island docs, islands closing exactly at the gap==n boundary,
+    # and docs straddling batch boundaries.
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for doc in range(400):
+        pos = 1
+        for _ in range(rnd.randint(1, 120)):
+            rows.append((doc, pos))
+            # mix sub-n gaps (same island) and super-n gaps (new island)
+            pos += rnd.choice([1, 1, 2, 3, 4, 9, 15])
+    assert len(rows) > 20000  # > 2 Arrow batches
+    # the kernel's contract (see _global_dup_spans): a doc's rows are
+    # contiguous and pos-ascending WITHIN a partition — guaranteed in the
+    # real pipeline because a doc's grams all come from its single input
+    # row (narrow expansion never crosses tasks); reproduce it here
+    df = (
+        spark.createDataFrame(rows, "id long, pos long")
+        .repartition(3, "id")
+        .sortWithinPartitions("id", "pos")
+    )
+    kernel = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_len"], r["n_shingles"])
+        for r in dd._dup_span_islands_arrow(df, 3).collect()
+    }
+    window = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_len"], r["n_shingles"])
+        for r in dd._spans_from_dup_positions(df, 3).collect()
+    }
+    assert kernel == window and len(kernel) > 400
+
+
 def test_remove_token_spans_overlapping_caller_spans(spark):
     # r7 optimization pins the gap-slice cleaner against arbitrary
     # caller-supplied span relations: overlapping, touching and duplicate
