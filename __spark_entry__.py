@@ -756,7 +756,7 @@ def q_tokens_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's full row set in ONE task — correct at sf0.1, serial at 100x."""
     from pyspark.sql.window import Window
 
-    toks = tokens_from_events(spark, sf_dir).select("source", "n_tok")
+    toks = tokens_from_events(spark, sf_dir, columns=["source", "n_tok"])
     hist = toks.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("c"))
     w_cum = (
         Window.partitionBy("source")
@@ -893,12 +893,14 @@ def q_tokens_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation gate over sequences: distinct-token ratio
     (repetition filter) + length window; per-source kept/dropped counts +
     micro-exact mean distinct ratio of kept rows."""
-    toks = tokens_from_events(spark, sf_dir)
-    # round 7: per-row distinct counting runs in the vectorized kernel
-    # (tokenops.with_distinct_count — one argsort per batch instead of a
-    # JVM hash set per row); the micro fixed-point math stays JVM-side
-    # and is unchanged
-    counted = tk.with_distinct_count(toks.select("tokens", "source", "n_tok"))
+    # round 7: the distinct-token count is a DERIVED column of the
+    # synthesis kernel (one argsort where the flat token values already
+    # live — tokens_from_events columns=["...", "n_distinct"]), so the
+    # token arrays never cross into the JVM at all; the micro fixed-point
+    # math stays JVM-side and is unchanged
+    counted = tokens_from_events(
+        spark, sf_dir, columns=["source", "n_tok", "n_distinct"]
+    )
     ratio = F.col("n_distinct").cast("double") / F.col("n_tok")
     scored = counted.withColumn("distinct_micro", ts.micro_col(ratio))
     kept_pred = (
@@ -932,9 +934,9 @@ def q_tokens_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # doc_id is 'doc-' + zero-padded digits: the numeric suffix is monotone
     # in the string ordering, so suffix-based blocks respect doc_id order
-    toks = tokens_from_events(spark, sf_dir)
+    toks = tokens_from_events(spark, sf_dir, columns=["doc_id", "source", "n_tok"])
     return pack_concat_map(
-        toks.select("doc_id", "source", "n_tok"),
+        toks,
         ctx=PACK_CTX,
         ord_col=F.substring("doc_id", 5, 12).cast("bigint"),
         block=PACK_BLOCK,
@@ -1118,7 +1120,7 @@ def q_tokens_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     token totals and the md5 of the first-10 shuffle order digest."""
     from go_log_forwarder_spark.functions import sampling as sp
 
-    toks = tokens_from_events(spark, sf_dir)
+    toks = tokens_from_events(spark, sf_dir, columns=["doc_id", "source", "n_tok"])
     mixed = sp.mix_sample(toks, key_col="doc_id", group_col="source", rates=MIX_RATES)
     pos = sp.shuffle_position(F.col("doc_id"))
     from pyspark.sql.window import Window

@@ -80,6 +80,39 @@ def test_joined_digest_md5_and_hex60_parity(spark, toks_df):
     assert got_md5[5] is None and got_h60[5] is None
 
 
+def test_synth_tokens_arrow_parity(spark):
+    # r7: the vectorized token-synthesis kernel must be bit-identical to
+    # the Catalyst tokens_cols formulation — including negative indexes
+    # (empty array but NEGATIVE n_tok column), zero, and >= 10^12 indexes
+    # (Spark lpad truncates to 12 chars).
+    from go_log_forwarder_spark.sources import tokens as tks
+
+    idxs = [-1048574, -7, 0, 1, 2, 13, 999, 1048572, 1048573, 10**12 + 345]
+    ids = spark.createDataFrame([(i,) for i in idxs], "id bigint")
+    old = {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in ids.select(*tks.tokens_cols(F.col("id"), max_len=16)).collect()
+    }
+    new = {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in tks.synth_tokens_arrow(ids, max_len=16).collect()
+    }
+    assert new == old and len(new) == len(idxs)
+    # pruned/derived columns: subset selection and the in-kernel
+    # n_distinct must match size(array_distinct(tokens)) (0 for empty)
+    derived = {
+        (r["source"], r["n_tok"], r["n_distinct"])
+        for r in tks.synth_tokens_arrow(
+            ids, max_len=16, columns=["source", "n_tok", "n_distinct"]
+        ).collect()
+    }
+    expect = {
+        (s, n, len(set(toks)))
+        for _, (toks, n, s) in old.items()
+    }
+    assert derived == expect
+
+
 def test_with_distinct_count_parity(spark, toks_df):
     old = {
         r["doc_id"]: r["d"]
