@@ -28,6 +28,7 @@ from go_log_forwarder_spark.operators.aggregate import (
     per_sink_counts,
     per_sink_source_counts,
     pipeline_metrics,
+    pipeline_metrics_single_scan,
 )
 from go_log_forwarder_spark.functions import dedup as dd
 from go_log_forwarder_spark.functions import multimodal as mm
@@ -175,10 +176,13 @@ def q_json_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 pipeline metrics per source: rows in/parsed/dropped/routed."""
+    """A2 pipeline metrics per source: rows in/parsed/dropped/routed.
+
+    Round 7: the single-scan conditional-aggregation form — the
+    three-frame formulation re-parsed the pipeline once per metric
+    family (guide §2.4: don't pay the same pass three times)."""
     parsed = _parsed(spark, sf_dir)
-    kept = GREP.apply(parsed)
-    return pipeline_metrics(parsed, kept, SINKS)
+    return pipeline_metrics_single_scan(parsed, GREP.keep_pred(), SINKS)
 
 
 def q_routed_rows_err_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,7 +1393,10 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records at most 50 queries() entries."""
     from pyspark.sql.window import Window
 
-    kept = _kept(spark, sf_dir)
+    # round 7: BOTH aggregate families below scan the kept frame, and
+    # each scan re-runs the whole parse pipeline; pruned to the two
+    # columns they read, the frame is tiny — pin it once per evaluation
+    kept = _kept(spark, sf_dir).select("tag", "ingest_time").localCheckpoint(eager=True)
     routed = route_exploded(kept, SINKS)
     by_sink = (
         routed.groupBy(

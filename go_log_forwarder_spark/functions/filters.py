@@ -120,6 +120,16 @@ class GrepFilter:
             return reduce(lambda a, b: a | b, preds)
         return reduce(lambda a, b: a & b, preds)
 
+    def keep_pred(self, target_col: str = "canonical", tag_col: str = "tag") -> Column:
+        """The full tag-gated survival predicate as a Column (rows whose
+        tag does not match the filter's pattern bypass it — engine.go:
+        100-103). Exposed so single-scan consumers (conditional
+        aggregation over the unfiltered frame) can reuse the exact
+        predicate ``apply`` filters with."""
+        gate = compile_tag_pattern(self.match).column(F.col(tag_col))
+        target = F.coalesce(F.col(target_col), F.lit("null"))
+        return ~gate | self.keep_col(target)
+
     def apply(self, df, target_col: str = "canonical", tag_col: str = "tag"):
         """Tag-gated filter application: rows whose tag does NOT match the
         filter's pattern bypass it unchanged (engine.go:100-103).
@@ -127,9 +137,7 @@ class GrepFilter:
         ``target_col`` is the canonical JSON text of the parse result —
         emitted by :class:`~..functions.parsers.ParserChain` as ``canonical``.
         """
-        gate = compile_tag_pattern(self.match).column(F.col(tag_col))
-        target = F.coalesce(F.col(target_col), F.lit("null"))
-        return df.filter(~gate | self.keep_col(target))
+        return df.filter(self.keep_pred(target_col, tag_col))
 
 
 @dataclass

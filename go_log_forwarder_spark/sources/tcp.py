@@ -45,20 +45,39 @@ def tcp_chunks(
     ASCII log corpora both systems test with, and a ``binary`` body column
     would use the same plan shape.
 
-    Pure Catalyst: sequence + transform + posexplode — one narrow pass,
-    no shuffle, no Python.
+    Pure Catalyst — one narrow pass, no shuffle, no Python. Chunking mode
+    is width-dependent (round-7 measurement): per-chunk ``substr`` is
+    QUADRATIC in chunk count (UTF8String locates a char position by
+    scanning from the string start, so chunk i pays an O(i*width) scan —
+    5.5 s of the sf1.0 tcp row at width 40), while the Java-regex
+    fixed-width split ``(?<=\\G.{w})`` is one linear scan with an
+    O(width) lookbehind check per boundary. Small widths therefore take
+    the split (O(n*width) total); large widths keep the substr form
+    (O(n^2/width) — few chunks, and a 64 KB-length lookbehind would be
+    the slower side). Both modes produce identical chunks.
     """
     if buffer_size < 1:
         raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
     body = F.col(body_col)
-    n = F.ceil(F.length(body) / F.lit(buffer_size)).cast("int")
-    chunk_list = F.when(
-        F.length(body) > 0,
-        F.transform(
+    if buffer_size <= 4096:
+        # (?s): chunks must cross newlines — dot matches all. A body whose
+        # length is an exact multiple of the width splits with one trailing
+        # EMPTY element (Spark split keeps trailing empties); real chunks
+        # are never empty, so dropping empties removes exactly that
+        # artifact and nothing else.
+        chunks = F.filter(
+            F.split(body, "(?s)(?<=\\G.{" + str(buffer_size) + "})"),
+            lambda c: F.length(c) > 0,
+        )
+    else:
+        n = F.ceil(F.length(body) / F.lit(buffer_size)).cast("int")
+        chunks = F.transform(
             F.sequence(F.lit(1), n),
             lambda i: body.substr((i - 1) * buffer_size + 1, F.lit(buffer_size)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        )
+    chunk_list = F.when(F.length(body) > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
     lines = df.select(
         F.col(source_col).alias("source"),
         F.posexplode(chunk_list).alias("idx", "raw"),
