@@ -889,16 +889,22 @@ def _token_shingle_kernel(n: int, n_words: int, counts: bool = False):
                 else:
                     hs.append(hi)
             if counts:
-                order = np.lexsort(tuple(reversed(hs)))
-                hs_s = [h[order] for h in hs]
-                change = np.zeros(total, dtype=bool)
+                # single memcmp-order sort of the packed key bytes — ~3x
+                # faster than an n_words-key lexsort; the order itself is
+                # irrelevant (partials are re-aggregated by key)
+                keys = np.stack(hs, axis=1)
+                kv = np.sort(
+                    np.ascontiguousarray(keys).view(f"V{8 * n_words}").ravel()
+                )
+                change = np.empty(total, dtype=bool)
                 change[0] = True
-                for h in hs_s:
-                    change[1:] |= h[1:] != h[:-1]
+                change[1:] = kv[1:] != kv[:-1]
                 idx = np.flatnonzero(change)
                 cnt = np.diff(np.append(idx, total)).astype(np.int64)
+                uniq = kv[idx].view(np.int64).reshape(-1, n_words)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(h[idx]) for h in hs_s] + [pa.array(cnt)],
+                    [pa.array(uniq[:, k]) for k in range(n_words)]
+                    + [pa.array(cnt)],
                     names=[f"h{k}" for k in range(n_words)] + ["n_occ"],
                 )
             else:
@@ -919,18 +925,146 @@ def token_substring_spans(
     et al. 2021 actually define (their suffix array is built over the
     tokenized corpus), run on the graft's own input table. Same distributed
     shape as :func:`substring_spans` (map-side shingles, ONE partial-agg
-    shuffle of hashes, semi-join back, per-doc islands merge); returns
+    shuffle of hashes, dup-set probe, per-doc islands merge); returns
     (doc_id, span_start, span_end, span_len, n_shingles) with 1-based
     inclusive TOKEN indexes. The dup index aggregates kernel-side partial
     counts (:func:`token_shingle_count_partials`) so raw positions never
-    enter the JVM aggregation."""
+    enter the JVM aggregation.
+
+    Probe shape (round 7): when the dup set fits the broadcast gate
+    (``DUP_BROADCAST_ROWS`` — the same memory bound the JVM broadcast
+    join already implies, since a broadcast relation is collected to the
+    driver either way), it ships to the probe as sorted raw key arrays in
+    a Spark broadcast variable and the WHOLE probe — shingle keys,
+    membership (one vectorized binary search), islands merge — runs in a
+    single Arrow kernel pass over the token table: no position relation
+    ever leaves Python, no join, and islands need no cross-batch carry
+    (each doc's grams live inside its own row). Above the gate the plain
+    shuffle semi-join + window formulation remains (the 100 TB-safe
+    fallback), exactly as in :func:`_global_dup_spans`."""
+    from pyspark.sql import types as T
+
     counts = (
         token_shingle_count_partials(df, n, tokens_col)
         .groupBy("h")
         .agg(F.sum("n_occ").alias("n_occ"))
     )
-    return _global_dup_spans(
-        token_shingle_positions(df, n, tokens_col, id_col), n, counts=counts
+    dup_h = (
+        counts.filter(F.col("n_occ") >= 2).select("h").localCheckpoint(eager=True)
+    )
+    n_words = (n + 1) // 2
+    id_integral = isinstance(
+        df.schema[id_col].dataType, (T.LongType, T.IntegerType)
+    )
+    if id_integral and dup_h.count() <= DUP_BROADCAST_ROWS:
+        return _token_spans_via_broadcast(df, dup_h, n, n_words, tokens_col, id_col)
+    sp = token_shingle_positions(df, n, tokens_col, id_col)
+    dup_pos = sp.join(dup_h, "h", "left_semi")
+    return _spans_from_dup_positions(dup_pos, n)
+
+
+def _token_spans_via_broadcast(
+    df: DataFrame, dup_h: DataFrame, n: int, n_words: int,
+    tokens_col: str, id_col: str,
+) -> DataFrame:
+    """Single-pass probe for :func:`token_substring_spans`: the dup keys
+    arrive as a broadcast of byte-comparable sorted arrays; membership is
+    ``np.searchsorted`` on a fixed-width void view (memcmp gives SOME
+    total order — irrelevant which, both sides use the same
+    representation). Islands merge is the same vectorized break logic as
+    :func:`_dup_span_islands_arrow`, but with no carried state: a doc's
+    grams are complete within its own input row."""
+    import numpy as np
+
+    spark = df.sparkSession
+    pdf = dup_h.select("h.*").toPandas()
+    key_bytes = np.int64().itemsize * n_words
+    dup = np.empty((len(pdf), n_words), dtype=np.int64)
+    for k in range(n_words):
+        dup[:, k] = pdf[f"h{k}"].to_numpy(dtype=np.int64)
+    dup_v = np.sort(
+        np.ascontiguousarray(dup).view(f"V{key_bytes}").ravel()
+    )
+    bc = spark.sparkContext.broadcast(dup_v)
+    NAMES = ["doc_id", "span_start", "span_end", "span_len", "n_shingles"]
+
+    def kernel(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        dv = bc.value
+        MASK = np.int64(4294967295)
+        seen_ids: set[int] = set()
+        for batch in it:
+            ids = np.asarray(batch.column(0)).astype(np.int64)
+            tok = batch.column(1)
+            if tok.values.null_count:
+                raise ValueError(
+                    "token_substring_spans: NULL token values unsupported"
+                )
+            lens = np.asarray(pc.fill_null(pc.list_value_length(tok), 0)).astype(np.int64)
+            offs = np.asarray(tok.offsets).astype(np.int64)
+            vals = np.asarray(tok.values).astype(np.int64)
+            m = np.maximum(lens - n + 1, 0)
+            total = int(m.sum())
+            if total == 0:
+                continue
+            row_idx = np.repeat(np.arange(len(lens)), m)
+            gstart = np.repeat(offs[:-1], m)
+            pos0 = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+            g0 = gstart + pos0
+            keys = np.empty((total, n_words), dtype=np.int64)
+            for k in range(n_words):
+                hi = vals[g0 + 2 * k]
+                if 2 * k + 1 < n:
+                    keys[:, k] = (hi << 32) | (vals[g0 + 2 * k + 1] & MASK)
+                else:
+                    keys[:, k] = hi
+            kv = np.ascontiguousarray(keys).view(f"V{key_bytes}").ravel()
+            if len(dv):
+                idx = np.searchsorted(dv, kv)
+                idx[idx == len(dv)] = 0
+                is_dup = dv[idx] == kv
+            else:
+                is_dup = np.zeros(total, dtype=bool)
+            if not is_dup.any():
+                continue
+            d_ids = ids[row_idx[is_dup]]
+            d_pos = pos0[is_dup] + 1
+            # duplicate-doc-id guard (the window formulation would MERGE
+            # positions of repeated ids; this per-row shape cannot — raise
+            # loudly instead of silently diverging)
+            uniq = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
+            for i in uniq.tolist():
+                if i in seen_ids:
+                    raise RuntimeError(
+                        "token_substring_spans: duplicate doc id in input"
+                    )
+                seen_ids.add(i)
+            same = d_ids[1:] == d_ids[:-1]
+            gap = d_pos[1:] - d_pos[:-1]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(~same | (gap > n)) + 1, [len(d_ids)])
+            )
+            s_arr, e_arr = starts[:-1], starts[1:]
+            sp = d_pos[s_arr]
+            ep = d_pos[e_arr - 1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(d_ids[s_arr]),
+                    pa.array(sp),
+                    pa.array(ep + (n - 1)),
+                    pa.array(ep + n - sp),
+                    pa.array((e_arr - s_arr).astype(np.int64)),
+                ],
+                names=NAMES,
+            )
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(tokens_col).alias("_ts")
+    ).mapInArrow(
+        kernel,
+        "doc_id bigint, span_start bigint, span_end bigint, span_len bigint, n_shingles bigint",
     )
 
 
