@@ -281,15 +281,30 @@ def _re2_extractable(pattern: str, group_names: list[str]) -> bool:
         return False
 
 
-def _compile_regex_struct_udf(pattern: str, group_names: list[str]):
+def _compile_regex_struct_udf(
+    pattern: str, group_names: list[str], with_canonical: bool = False
+):
     """RE2 fast path: the whole batch goes through Arrow's C++
     extract_regex — ZERO per-row Python. Returns struct<name:string,...>
     whose fields are all-NULL exactly when the row did not match (RE2
     non-participating groups yield "", never NULL — Go regex.go:66-77
-    parity by construction)."""
+    parity by construction).
+
+    ``with_canonical`` (round 7) additionally emits the Go
+    ``json.Marshal(map[string]string)`` text as a ``__canon`` field,
+    built INSIDE the kernel with vectorized replace/join: the post-UDF
+    projection that previously assembled it from the map is not
+    whole-stage-codegen'd, so its 5-regexp escape chain per key and value
+    ran interpreted per row. Key order is the static sort of the group
+    names (ASCII, same order Catalyst's array_sort(map_entries) yields);
+    escapes and quoting match filters._escape_json_string exactly;
+    no-match rows emit NULL."""
     from pyspark.sql import types as T
 
-    struct_type = T.StructType([T.StructField(n, T.StringType()) for n in group_names])
+    fields = [T.StructField(n, T.StringType()) for n in group_names]
+    if with_canonical:
+        fields.append(T.StructField("__canon", T.StringType()))
+    struct_type = T.StructType(fields)
 
     @F.pandas_udf(struct_type)
     def parse(raw: pd.Series) -> pd.DataFrame:
@@ -301,9 +316,24 @@ def _compile_regex_struct_udf(pattern: str, group_names: list[str]):
         # flatten() ANDs child validity with the struct's: no-match rows
         # come out as NULL in every field
         cols = res.flatten()
-        return pd.DataFrame(
-            {n: c.to_pandas() for n, c in zip(group_names, cols)}
-        )
+        out = {n: c.to_pandas() for n, c in zip(group_names, cols)}
+        if with_canonical:
+            def esc(c):
+                for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                             ("\t", "\\t"), ("\r", "\\r")):
+                    c = pc.replace_substring(c, pattern=a, replacement=b)
+                return c
+
+            by_name = dict(zip(group_names, cols))
+            parts = []
+            for i, n in enumerate(sorted(group_names)):
+                parts.append(pa.scalar(("," if i else "{") + '"' + n + '":"'))
+                parts.append(esc(by_name[n]))
+            parts.append(pa.scalar('"}'))
+            out["__canon"] = pc.binary_join_element_wise(
+                *parts, pa.scalar(""), null_handling="emit_null"
+            ).to_pandas()
+        return pd.DataFrame(out)
 
     return parse
 
@@ -384,6 +414,28 @@ class RegexParser:
             return F.when(s.getField(group_names[0]).isNotNull(), entries)
         return _compile_regex_parse_udf(self.pattern, self.allow_empty)(raw)
 
+    def parsed_and_canonical(self, raw: Column) -> tuple[Column, Column] | None:
+        """Fused RE2 path (round 7): one kernel evaluation yields BOTH the
+        parsed map and the canonical Go-marshal text (see
+        _compile_regex_struct_udf with_canonical). Only offered when the
+        kernel applies and ``allow_empty`` is on (empty-dropping canonical
+        depends on per-row membership — the Catalyst map build handles
+        that); callers fall back to parsed_col + canonical_col otherwise.
+        Identical UDF expressions are deduplicated at extraction, so the
+        kernel still runs once per row."""
+        group_names = [g for g in re.compile(self.pattern).groupindex]
+        if not self.allow_empty or not _re2_extractable(self.pattern, group_names):
+            return None
+        s = _compile_regex_struct_udf(
+            self.pattern, group_names, with_canonical=True
+        )(raw)
+        entries = F.map_from_arrays(
+            F.array(*[F.lit(n) for n in group_names]),
+            F.array(*[s.getField(n) for n in group_names]),
+        )
+        matched = s.getField(group_names[0]).isNotNull()
+        return F.when(matched, entries), F.when(matched, s.getField("__canon"))
+
     def canonical_col(self, raw: Column, parsed: Column) -> Column:
         # regex output is map[string]string in Go — all values quoted.
         from .filters import canonical_json_of_string_map
@@ -451,7 +503,16 @@ class ParserChain:
                 raw = F.when(prev.isNull(), F.col(raw_col))
             else:
                 raw = F.col(raw_col)
-            parsed = p.parsed_col(raw)
+            fused = (
+                p.parsed_and_canonical(raw)
+                if hasattr(p, "parsed_and_canonical")
+                else None
+            )
+            if fused is not None:
+                parsed, canonical = fused
+            else:
+                parsed = p.parsed_col(raw)
+                canonical = p.canonical_col(raw, parsed)
             tcol = p.time_col(parsed)
             event_time = (
                 F.coalesce(tcol, F.col(ingest_time_col))
@@ -468,7 +529,7 @@ class ParserChain:
                 F.struct(
                     parsed.alias("parsed"),
                     F.lit(p.name).alias("parser"),
-                    p.canonical_col(raw, parsed).alias("canonical"),
+                    canonical.alias("canonical"),
                     event_time.alias("event_time"),
                 ),
             )

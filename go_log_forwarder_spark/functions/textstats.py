@@ -272,16 +272,26 @@ def quality_sql(text_expr: str) -> list[str]:
 
 def lang_guess_col(text: Column, words: Column | None = None) -> Column:
     """Language-ID n-gram/stopword heuristic: argmax stopword-hit count,
-    ties broken by language code order; no hits at all -> 'und'."""
+    ties broken by language code order; no hits at all -> 'und'.
+
+    Round 7: all per-language hit counts fold in ONE aggregate pass over
+    the word array (a struct accumulator) instead of one interpreted
+    filter traversal per language — same counts, same left-to-right
+    strict-greater argmax."""
     ws = words if words is not None else words_col(text)
-
-    def _in_list(word_list):
-        return lambda w: w.isin(*word_list)
-
-    counts = [
-        (lang, F.size(F.filter(ws, _in_list(word_list))))
-        for lang, word_list in sorted(STOPWORDS.items())
-    ]
+    langs = sorted(STOPWORDS)
+    acc0 = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+    cstruct = F.aggregate(
+        ws,
+        acc0,
+        lambda acc, w: F.struct(
+            *[
+                (acc[lang] + w.isin(*STOPWORDS[lang]).cast("int")).alias(lang)
+                for lang in langs
+            ]
+        ),
+    )
+    counts = [(lang, cstruct[lang]) for lang in langs]
     best = None
     best_count = None
     for lang, cnt in counts:
@@ -343,14 +353,31 @@ def gopher_cols(text: Column, words: Column | None = None) -> list[Column]:
         lambda acc: F.greatest(acc["best"], acc["run"]),
     )
     top_n = F.when(n > 0, run_state)
-    short_n = F.size(F.filter(ws, lambda w: F.length(w) <= 2))
-    long_n = F.size(F.filter(ws, lambda w: F.length(w) >= 8))
+    # short/long/max-word-length fold in ONE aggregate pass (round 7 —
+    # three separate interpreted traversals before); greatest() skips the
+    # NULL initial max, so empty arrays still yield NULL max_word_len
+    # like array_max over an empty transform did
+    slm = F.aggregate(
+        ws,
+        F.struct(
+            F.lit(0).alias("s"),
+            F.lit(0).alias("l"),
+            F.lit(None).cast("int").alias("m"),
+        ),
+        lambda acc, w: F.struct(
+            (acc["s"] + (F.length(w) <= 2).cast("int")).alias("s"),
+            (acc["l"] + (F.length(w) >= 8).cast("int")).alias("l"),
+            F.greatest(acc["m"], F.length(w)).alias("m"),
+        ),
+    )
+    short_n = slm["s"]
+    long_n = slm["l"]
     return [
         micro_col((n - distinct_n).cast("double") / n).alias("dup_word_micro"),
         micro_col(top_n.cast("double") / n).alias("top_word_micro"),
         micro_col(short_n.cast("double") / n).alias("short_word_micro"),
         micro_col(long_n.cast("double") / n).alias("long_word_micro"),
-        F.array_max(F.transform(ws, lambda w: F.length(w))).alias("max_word_len"),
+        slm["m"].alias("max_word_len"),
     ]
 
 
