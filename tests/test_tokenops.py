@@ -131,3 +131,22 @@ def test_with_distinct_count_parity(spark, toks_df):
         assert got[d] == old[d], d
     assert got[5] is None
     assert got[1] == 3 and got[4] == 0 and got[6] == 4
+
+
+def test_int_dot_arrow_parity(spark):
+    # r7: vectorized dot must match the Catalyst zip_with+aggregate fold
+    # bit-for-bit, including negative values and int64 wrap-free products
+    from go_log_forwarder_spark.functions import similarity as sim
+
+    rows = [
+        ([1, -2, 3], [4, 5, -6]),
+        ([0, 0, 0], [1, 2, 3]),
+        ([100000, -100000, 7], [100000, 100000, -7]),
+    ]
+    df = spark.createDataFrame(rows, "a array<bigint>, b array<bigint>")
+    got = df.select(
+        sim.int_dot(F.col("a"), F.col("b")).alias("jvm"),
+        sim.int_dot_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    for r in got:
+        assert r["jvm"] == r["arrow"]
