@@ -327,7 +327,9 @@ def _compile_regex_struct_udf(
             by_name = dict(zip(group_names, cols))
             parts = []
             for i, n in enumerate(sorted(group_names)):
-                parts.append(pa.scalar(("," if i else "{") + '"' + n + '":"'))
+                # '{"k":"' for the first entry, '","k":"' after (closing
+                # the previous value's quote before the comma)
+                parts.append(pa.scalar(('","' if i else '{"') + n + '":"'))
                 parts.append(esc(by_name[n]))
             parts.append(pa.scalar('"}'))
             out["__canon"] = pc.binary_join_element_wise(

@@ -81,7 +81,15 @@ def test_per_sink_counts_single_shuffle(spark, tokens_path):
     out = per_sink_source_counts(df, [SinkSpec("a", "*"), SinkSpec("b", "*-hot")])
     plan = plan_of(out)
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "partial_count" in plan  # map-side combine
+    # map-side combine: r7's conditional-aggregation form sums per-sink
+    # indicator columns (partial_sum) where the r2 explode form counted
+    # exploded rows (partial_count) — either way the exchange must carry
+    # pre-aggregated rows, never the raw (or exploded) relation
+    assert "partial_sum" in plan or "partial_count" in plan
+    # no explode feeds the exchange (the stack() UNPIVOT above the final
+    # aggregate is a Generate too, but over sinks x sources rows — only
+    # an explode Generate would blow the pre-exchange relation up)
+    assert "Generate explode" not in plan
 
 
 def test_salted_repartition_balances_hot_source(spark, tokens_path):

@@ -133,6 +133,43 @@ def test_with_distinct_count_parity(spark, toks_df):
     assert got[1] == 3 and got[4] == 0 and got[6] == 4
 
 
+def test_fused_regex_canonical_parity(spark):
+    # r7: the RE2 kernel's in-kernel canonical must equal the Catalyst
+    # map-marshal (filters.canonical_json_of_string_map) byte-for-byte —
+    # multiple groups (quote between entries!), escapes, empty values,
+    # no-match rows.
+    import datetime
+
+    from go_log_forwarder_spark.functions.filters import canonical_json_of_string_map
+    from go_log_forwarder_spark.functions.parsers import ParserChain, RegexParser
+
+    rows = [
+        ('ERROR event "quoted"\\slash', 1),
+        ("INFO x", 2),
+        ("~~no match~~", 3),
+        ("WARN ", 4),  # .+ fails on empty message -> no match
+    ]
+    df = spark.createDataFrame(
+        [(r, i, datetime.datetime(2024, 1, 1)) for r, i in rows],
+        "raw string, i long, ingest_time timestamp",
+    )
+    p = RegexParser(pattern=r"^(?P<level>[A-Z]+)\s(?P<message>.*)$")
+    out = ParserChain([p]).apply(df)
+    got = {
+        r["i"]: (r["canonical"], canonical_json_of_string_map(F.lit(None)))
+        for r in out.collect()
+    }
+    jvm = {
+        r["i"]: r["c"]
+        for r in out.select(
+            "i", F.coalesce(canonical_json_of_string_map(F.col("parsed")), F.lit("null")).alias("c")
+        ).collect()
+    }
+    assert {i: c for i, (c, _) in got.items()} == jvm
+    assert jvm[1] == '{"level":"ERROR","message":"event \\"quoted\\"\\\\slash"}'
+    assert jvm[3] == "null"
+
+
 def test_int_dot_arrow_parity(spark):
     # r7: vectorized dot must match the Catalyst zip_with+aggregate fold
     # bit-for-bit, including negative values and int64 wrap-free products
