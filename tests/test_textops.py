@@ -354,6 +354,40 @@ def test_token_shingle_packed_key_edges(spark):
     assert {i for i, _ in sp2} == {1, 2, 3}
 
 
+def test_token_shingle_count_partials_match_positions(spark):
+    # r7 optimization pins the kernel-side partial counts (pyarrow hash
+    # group_by since the follow-up pass; previously a void-view sort)
+    # against the documented contract: summing the per-batch partials by
+    # key equals token_shingle_positions(...).groupBy(h).count(), on a
+    # dup-heavy corpus with short/NULL docs mixed in.
+    import random
+
+    rnd = random.Random(11)
+    motifs = [[rnd.randint(0, 99) for _ in range(6)] for _ in range(8)]
+    rows = []
+    for doc in range(300):
+        toks: list[int] = []
+        for _ in range(rnd.randint(0, 5)):
+            toks += rnd.choice(motifs)
+        rows.append((doc, toks if toks else (None if doc % 2 else [])))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    partial = {
+        tuple(r["h"]): r["n"]
+        for r in dd.token_shingle_count_partials(df, n=3)
+        .groupBy("h")
+        .agg(F.sum("n_occ").alias("n"))
+        .collect()
+    }
+    full = {
+        tuple(r["h"]): r["n"]
+        for r in dd.token_shingle_positions(df, n=3)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert partial == full and len(full) > 8
+
+
 def test_islands_kernel_matches_window_formulation(spark):
     # r7 optimization pins the streaming Arrow islands merge (zero
     # shuffle, broadcast path) against the window formulation on a corpus
